@@ -1,0 +1,130 @@
+"""Functional param-pytree building blocks shared by all models.
+
+Every model in this framework is a pair of pure functions:
+  init(rng, cfg) -> params (nested dict of jnp arrays)
+  apply(params, cfg, *inputs) -> outputs
+
+Weights use the (in_features, out_features) layout so forward matmuls are
+`x @ w` — the natural MXU orientation — and the checkpoint translator
+transposes torch's (out, in) once at load time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def linear_init(
+    rng: jax.Array,
+    in_features: int,
+    out_features: int,
+    *,
+    bias: bool = True,
+    dtype: jnp.dtype = jnp.float32,
+    scale: Optional[float] = None,
+) -> Params:
+    if scale is None:
+        scale = in_features ** -0.5  # LeCun-style, matches torch default magnitude
+    w = jax.random.uniform(
+        rng, (in_features, out_features), dtype=jnp.float32, minval=-scale, maxval=scale
+    ).astype(dtype)
+    p: Params = {"kernel": w}
+    if bias:
+        p["bias"] = jnp.zeros((out_features,), dtype=dtype)
+    return p
+
+
+def linear(p: Params, x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
+    y = jnp.dot(x, p["kernel"].astype(x.dtype), precision=precision)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv2d_init(
+    rng: jax.Array,
+    in_ch: int,
+    out_ch: int,
+    kernel: int,
+    *,
+    bias: bool = True,
+    dtype: jnp.dtype = jnp.float32,
+) -> Params:
+    fan_in = in_ch * kernel * kernel
+    scale = fan_in ** -0.5
+    w = jax.random.uniform(
+        rng, (kernel, kernel, in_ch, out_ch), dtype=jnp.float32, minval=-scale, maxval=scale
+    ).astype(dtype)
+    p: Params = {"kernel": w}
+    if bias:
+        p["bias"] = jnp.zeros((out_ch,), dtype=dtype)
+    return p
+
+
+def conv2d(
+    p: Params,
+    x: jnp.ndarray,
+    *,
+    stride: int = 1,
+    padding="SAME",
+) -> jnp.ndarray:
+    """NHWC conv. padding: 'SAME', 'VALID', or explicit [(lo,hi),(lo,hi)]."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def group_norm(
+    p: Params, x: jnp.ndarray, *, num_groups: int = 32, eps: float = 1e-6
+) -> jnp.ndarray:
+    """GroupNorm over NHWC, fp32 statistics."""
+    dtype = x.dtype
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, h, w, num_groups, c // num_groups)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(b, h, w, c)
+    xf = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return xf.astype(dtype)
+
+
+def group_norm_init(c: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+
+def rms_weight_init(c: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((c,), dtype)}
+
+
+def layer_norm_init(c: int, dtype=jnp.float32, bias: bool = True) -> Params:
+    p = {"scale": jnp.ones((c,), dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((c,), dtype)
+    return p
+
+
+def param_count(params: Params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def cast_floating(params: Params, dtype) -> Params:
+    """Cast floating-point leaves to dtype, leave ints alone."""
+    def _cast(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(_cast, params)

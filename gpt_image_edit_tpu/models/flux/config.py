@@ -1,0 +1,52 @@
+"""FLUX.1 (dev / Kontext-dev) MMDiT configuration.
+
+Matches the diffusers FluxTransformer2DModel config shipped inside the
+reference's merged checkpoint (ref:univa/models/modeling_univa_denoise_tower.py:20-21,
+ref:scripts/make_univa_qwen2p5vl_weight.py:66-72): 19 dual-stream +
+38 single-stream blocks, 24 heads x 128, guidance-distilled.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxConfig:
+    in_channels: int = 64
+    out_channels: int = 64
+    num_layers: int = 19            # dual-stream (MMDiT) blocks
+    num_single_layers: int = 38     # single-stream blocks
+    attention_head_dim: int = 128
+    num_attention_heads: int = 24
+    joint_attention_dim: int = 4096   # text conditioning width
+    pooled_projection_dim: int = 768  # CLIP pooled width
+    guidance_embeds: bool = True
+    axes_dims_rope: Tuple[int, int, int] = (16, 56, 56)
+    rope_theta: float = 10000.0
+    mlp_ratio: float = 4.0
+    time_embed_dim: int = 256
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    @property
+    def mlp_dim(self) -> int:
+        return int(self.inner_dim * self.mlp_ratio)
+
+    @classmethod
+    def tiny(cls) -> "FluxConfig":
+        """Small config for tests: same topology, toy widths."""
+        return cls(
+            in_channels=16,
+            out_channels=16,
+            num_layers=2,
+            num_single_layers=3,
+            attention_head_dim=32,
+            num_attention_heads=4,
+            joint_attention_dim=64,
+            pooled_projection_dim=32,
+            axes_dims_rope=(8, 12, 12),
+        )

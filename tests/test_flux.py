@@ -1,0 +1,126 @@
+"""FLUX MMDiT tests: shapes, determinism, conditioning sensitivity,
+pad-mask invariance, and the denoise scan."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpt_image_edit_tpu.models.flux import FluxConfig, apply_flux, init_flux
+from gpt_image_edit_tpu.ops.packing import latent_image_ids
+from gpt_image_edit_tpu.pipeline.kontext import denoise_scan
+from gpt_image_edit_tpu.pipeline.scheduler import flow_sigmas
+
+
+def _setup(b=2, s_img=12, s_txt=5, with_ref=False):
+    cfg = FluxConfig.tiny()
+    params = init_flux(jax.random.key(0), cfg)
+    rngs = jax.random.split(jax.random.key(1), 5)
+    hidden = jax.random.normal(rngs[0], (b, s_img, cfg.in_channels))
+    txt = jax.random.normal(rngs[1], (b, s_txt, cfg.joint_attention_dim))
+    pooled = jax.random.normal(rngs[2], (b, cfg.pooled_projection_dim))
+    img_ids = latent_image_ids(3, 4, modality=0)  # 12 tokens
+    t = jnp.full((b,), 0.5)
+    g = jnp.full((b,), 3.5)
+    return cfg, params, hidden, txt, pooled, img_ids, t, g
+
+
+class TestFluxForward:
+    def test_shapes_and_finite(self):
+        cfg, params, hidden, txt, pooled, img_ids, t, g = _setup()
+        out = apply_flux(
+            params, cfg,
+            hidden_states=hidden, encoder_hidden_states=txt,
+            pooled_projections=pooled, timestep=t, img_ids=img_ids, guidance=g,
+        )
+        assert out.shape == (2, 12, cfg.out_channels)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_timestep_sensitivity(self):
+        cfg, params, hidden, txt, pooled, img_ids, t, g = _setup()
+        out1 = apply_flux(params, cfg, hidden_states=hidden, encoder_hidden_states=txt,
+                          pooled_projections=pooled, timestep=t, img_ids=img_ids, guidance=g)
+        out2 = apply_flux(params, cfg, hidden_states=hidden, encoder_hidden_states=txt,
+                          pooled_projections=pooled, timestep=t * 0.1, img_ids=img_ids, guidance=g)
+        assert np.abs(np.asarray(out1 - out2)).max() > 1e-4
+
+    def test_text_conditioning_flows_to_image(self):
+        cfg, params, hidden, txt, pooled, img_ids, t, g = _setup()
+        out1 = apply_flux(params, cfg, hidden_states=hidden, encoder_hidden_states=txt,
+                          pooled_projections=pooled, timestep=t, img_ids=img_ids, guidance=g)
+        out2 = apply_flux(params, cfg, hidden_states=hidden, encoder_hidden_states=txt + 1.0,
+                          pooled_projections=pooled, timestep=t, img_ids=img_ids, guidance=g)
+        assert np.abs(np.asarray(out1 - out2)).max() > 1e-4
+
+    def test_pad_mask_blocks_masked_text(self):
+        """Output on real tokens must not change when masked text tokens change."""
+        cfg, params, hidden, txt, pooled, img_ids, t, g = _setup()
+        b, s_txt = txt.shape[0], txt.shape[1]
+        s_img = hidden.shape[1]
+        pad = jnp.concatenate(
+            [jnp.array([[1, 1, 1, 0, 0]] * b, dtype=bool), jnp.ones((b, s_img), bool)],
+            axis=-1,
+        )
+        txt2 = txt.at[:, 3:].set(99.0)
+        out1 = apply_flux(params, cfg, hidden_states=hidden, encoder_hidden_states=txt,
+                          pooled_projections=pooled, timestep=t, img_ids=img_ids,
+                          guidance=g, pad_mask=pad)
+        out2 = apply_flux(params, cfg, hidden_states=hidden, encoder_hidden_states=txt2,
+                          pooled_projections=pooled, timestep=t, img_ids=img_ids,
+                          guidance=g, pad_mask=pad)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+class TestDenoiseScan:
+    def test_scan_runs_and_changes_latents(self):
+        cfg, params, hidden, txt, pooled, img_ids, t, g = _setup()
+        b, s = hidden.shape[:2]
+        ref_ids = latent_image_ids(3, 4, modality=1)
+        all_ids = jnp.concatenate([img_ids, ref_ids], axis=0)
+        sigmas = jnp.asarray(flow_sigmas(4, s))
+        out = denoise_scan(
+            params, cfg,
+            latents=hidden,
+            image_latents=hidden * 0.5,
+            latent_ids=all_ids,
+            prompt_embeds=txt,
+            pooled_embeds=pooled,
+            sigmas=sigmas,
+            guidance=g,
+            num_steps=4,
+        )
+        assert out.shape == hidden.shape
+        assert np.isfinite(np.asarray(out)).all()
+        assert np.abs(np.asarray(out - hidden)).max() > 1e-3
+
+    def test_true_cfg_branch(self):
+        cfg, params, hidden, txt, pooled, img_ids, t, g = _setup()
+        sigmas = jnp.asarray(flow_sigmas(2, hidden.shape[1]))
+        out = denoise_scan(
+            params, cfg,
+            latents=hidden, image_latents=None, latent_ids=img_ids,
+            prompt_embeds=txt, pooled_embeds=pooled, sigmas=sigmas,
+            guidance=g, num_steps=2,
+            neg_prompt_embeds=txt * 0.0, neg_pooled_embeds=pooled * 0.0,
+            true_cfg_scale=3.0,
+        )
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestScheduler:
+    def test_sigma_table(self):
+        sig = flow_sigmas(28, 4096)
+        assert sig.shape == (29,)
+        assert sig[0] == 1.0 and sig[-1] == 0.0
+        assert (np.diff(sig) < 0).all()
+
+    def test_shift_matches_reference_formula(self):
+        import math
+
+        from gpt_image_edit_tpu.pipeline.scheduler import calculate_shift, shift_sigmas
+
+        mu = calculate_shift(4096)
+        assert abs(mu - 1.15) < 1e-9
+        s = np.array([0.5])
+        shifted = shift_sigmas(s, mu)
+        expected = math.exp(mu) * 0.5 / (1 + (math.exp(mu) - 1) * 0.5)
+        assert abs(shifted[0] - expected) < 1e-9
