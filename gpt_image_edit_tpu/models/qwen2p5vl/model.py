@@ -1,0 +1,109 @@
+"""UniVA Qwen2.5-VL composition: ViT -> token scatter -> LM -> MLP2 projector.
+
+Parity target: UnivaQwen2p5VLForConditionalGeneration.forward
+(ref:univa/models/qwen2p5vl/modeling_univa_qwen2p5vl.py:325-538) with its
+three output modes:
+
+- "lvlm":            logits over the vocabulary (understanding branch)
+- "denoise_embeds":  projector(LM hidden) -> FLUX text conditioning
+- "denoise_model_pred" lives one level up (training.train_step /
+  models.univa) where the FLUX denoiser params are in scope.
+
+The torch masked_scatter of image embeddings into the token stream
+(ref :393-399) becomes a cumsum-gather: static shapes, one gather, jit-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gpt_image_edit_tpu.models import register_model
+from gpt_image_edit_tpu.models.common import Params, linear, linear_init
+from gpt_image_edit_tpu.models.qwen2p5vl import language, vision
+from gpt_image_edit_tpu.models.qwen2p5vl.config import Qwen2p5VLConfig
+from gpt_image_edit_tpu.models.qwen2p5vl.vision import VisionAux
+
+
+def init(rng: jax.Array, cfg: Qwen2p5VLConfig) -> Params:
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    hidden_mid = cfg.projector_out * 3  # ref MLP2: in -> 3*out -> out (SiLU between)
+    return {
+        "visual": vision.init(k1, cfg.vision),
+        "lm": language.init(k2, cfg.text),
+        "projector": {
+            "fc1": linear_init(k3, cfg.projector_in, hidden_mid),
+            "fc2": linear_init(k4, hidden_mid, cfg.projector_out),
+        },
+    }
+
+
+def scatter_image_embeds(
+    inputs_embeds: jnp.ndarray,  # (B, S, D)
+    image_embeds: jnp.ndarray,   # (N, D) concatenated over batch, in order
+    image_token_mask: jnp.ndarray,  # (B, S) bool
+) -> jnp.ndarray:
+    """Replace embedding rows at image-token positions with ViT outputs.
+
+    Equivalent to torch masked_scatter (ref :393-399): the k-th True position
+    in row-major order receives image_embeds[k]."""
+    b, s, d = inputs_embeds.shape
+    flat_mask = image_token_mask.reshape(-1)
+    idx = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
+    idx = jnp.clip(idx, 0, image_embeds.shape[0] - 1)
+    gathered = image_embeds[idx].reshape(b, s, d).astype(inputs_embeds.dtype)
+    return jnp.where(image_token_mask[..., None], gathered, inputs_embeds)
+
+
+def denoise_projector(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """MLP2: Linear -> SiLU -> Linear
+    (ref:univa/models/modeling_univa_denoise_tower.py:33-43)."""
+    return linear(params["fc2"], jax.nn.silu(linear(params["fc1"], hidden)))
+
+
+def apply(
+    params: Params,
+    cfg: Qwen2p5VLConfig,
+    *,
+    input_ids: jnp.ndarray,              # (B, S)
+    position_ids: jnp.ndarray,           # (3, B, S) from rope_index.get_rope_index
+    attention_mask: Optional[jnp.ndarray] = None,  # (B, S) 1 = real
+    pixel_patches: Optional[jnp.ndarray] = None,   # (N_patches, patch_dim)
+    vision_aux: Optional[VisionAux] = None,
+    image_embeds: Optional[jnp.ndarray] = None,    # precomputed alternative
+    output_type: str = "lvlm",
+) -> jnp.ndarray:
+    """Returns logits (lvlm) or projected prompt embeds (denoise_embeds)."""
+    embeds = language.embed(params["lm"], input_ids)
+
+    if pixel_patches is not None:
+        assert vision_aux is not None
+        image_embeds = vision.apply(
+            params["visual"], cfg.vision, pixel_patches.astype(embeds.dtype), vision_aux
+        )
+    if image_embeds is not None:
+        mask = input_ids == cfg.image_token_id
+        embeds = scatter_image_embeds(embeds, image_embeds, mask)
+
+    hidden = language.trunk(
+        params["lm"], cfg.text, embeds, position_ids, pad_mask=attention_mask
+    )
+
+    if output_type == "lvlm":
+        return language.logits(params["lm"], cfg.text, hidden)
+    if output_type == "hidden":
+        return hidden
+    if output_type == "denoise_embeds":
+        return denoise_projector(params["projector"], hidden)
+    raise ValueError(f"unknown output_type: {output_type}")
+
+
+@register_model("qwen2p5vl")
+class UnivaQwen2p5VL:
+    """Thin OO facade over the functional init/apply pair."""
+
+    config_cls = Qwen2p5VLConfig
+    init = staticmethod(init)
+    apply = staticmethod(apply)
