@@ -38,9 +38,12 @@ from gpt_image_edit_tpu.ops.rope import apply_rope_halves
 # host-side precompute (numpy; depends only on grid_thw)
 # --------------------------------------------------------------------------
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class VisionAux:
-    """Static per-bucket auxiliary arrays for one concatenated patch sequence."""
+    """Static per-bucket auxiliary arrays for one concatenated patch sequence.
+
+    Registered as a pytree so it can ride inside jitted batch dicts."""
 
     window_order: np.ndarray   # (S,) gather order into window layout
     inverse_order: np.ndarray  # (S_merged,) restores merger output order

@@ -1,0 +1,60 @@
+"""Device mesh construction.
+
+The reference's distributed story is NCCL data-parallel + ZeRO
+(SURVEY.md §2.4). The TPU-native equivalent is one logical mesh with three
+axes and XLA collectives over ICI:
+
+- data:   pure data parallelism (DP replicas)
+- fsdp:   data parallelism + parameter/optimizer sharding (ZeRO-3 analogue)
+- tensor: tensor parallelism (Megatron-style sharded matmuls)
+
+Batches are sharded over (data, fsdp); parameters over (fsdp, tensor).
+Under GSPMD any assignment is *correct* — the mesh only steers where
+collectives happen, so they ride ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+AXIS_DATA = "data"
+AXIS_FSDP = "fsdp"
+AXIS_TENSOR = "tensor"
+MESH_AXES = (AXIS_DATA, AXIS_FSDP, AXIS_TENSOR)
+# activation batch dim is sharded over both DP-ish axes
+BATCH_AXES = (AXIS_DATA, AXIS_FSDP)
+
+
+def mesh_shape_for(n_devices: int, tensor: Optional[int] = None) -> Tuple[int, int, int]:
+    """Pick a (data, fsdp, tensor) factorization for n devices.
+
+    Default policy: a modest tensor axis (2 when even, else 1) for the
+    19B-param model path, remainder to fsdp, data=1 unless there's room.
+    """
+    if tensor is None:
+        tensor = 2 if n_devices % 2 == 0 and n_devices >= 4 else 1
+    rest = n_devices // tensor
+    data = 2 if rest % 2 == 0 and rest >= 4 else 1
+    fsdp = rest // data
+    assert data * fsdp * tensor == n_devices, (data, fsdp, tensor, n_devices)
+    return data, fsdp, tensor
+
+
+def build_mesh(
+    n_devices: Optional[int] = None,
+    shape: Optional[Tuple[int, int, int]] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    if shape is None:
+        shape = mesh_shape_for(n_devices)
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, MESH_AXES)

@@ -1,16 +1,16 @@
 """Test env: force an 8-device CPU mesh so multi-chip sharding paths are
 exercised without TPU hardware (the JAX answer to 'test multi-node without a
-cluster' — SURVEY.md §4)."""
+cluster' — SURVEY.md §4).
+
+Note: this environment exports JAX_PLATFORMS=axon (the TPU tunnel), so we
+must override via jax.config, not env vars."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "float32")
