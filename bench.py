@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Headline benchmark: 28-step 1024x1024 FLUX-Kontext edit throughput per chip.
+
+Measures the jitted denoise scan (text 512 + target 4096 + reference 4096
+tokens, bf16, guidance-distilled single pass) at full FLUX width (24 heads x
+128). A single v5e chip (16GB) cannot hold the full 19+38-block 12B model, so
+depth-scaled variants are timed and the full-depth step time is obtained by a
+least-squares linear fit in (num_dual, num_single) — block costs are uniform,
+so the fit is exact up to noise. The extrapolated full-model rate is what the
+JSON reports; raw measurements go to stderr.
+
+vs_baseline: BASELINE.json targets >=2 img/s on v5e-8 => 0.25 img/s/chip.
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gpt_image_edit_tpu.models.flux import FluxConfig, init_flux
+    from gpt_image_edit_tpu.ops.packing import latent_image_ids
+    from gpt_image_edit_tpu.pipeline.kontext import denoise_scan
+    from gpt_image_edit_tpu.pipeline.scheduler import flow_sigmas
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    log(f"device: {dev}, platform: {dev.platform}")
+
+    steps = 28
+    b = 1
+    if on_tpu:
+        h = w = 128          # 1024x1024 pixels -> 128x128 latents -> 4096 tokens
+        s_txt = 512
+        depths = [(2, 4), (4, 8), (6, 12)]
+        reps = 3
+    else:  # CPU smoke fallback (driver normally runs on TPU)
+        h = w = 16
+        s_txt = 32
+        depths = [(1, 2), (2, 4)]
+        reps = 1
+
+    def build(nd, ns):
+        cfg = dataclasses.replace(FluxConfig(), num_layers=nd, num_single_layers=ns)
+        if not on_tpu:
+            cfg = dataclasses.replace(
+                FluxConfig.tiny(), num_layers=nd, num_single_layers=ns
+            )
+        abstract = jax.eval_shape(
+            lambda k: init_flux(k, cfg, dtype=jnp.bfloat16), jax.random.key(0)
+        )
+        params = jax.tree_util.tree_map(
+            lambda s: jnp.full(s.shape, 0.01, s.dtype), abstract
+        )
+        return cfg, params
+
+    def run_once(cfg, params):
+        s_tgt = (h // 2) * (w // 2)
+        latents = jnp.asarray(
+            np.random.default_rng(0).standard_normal((b, s_tgt, cfg.in_channels)),
+            jnp.bfloat16,
+        )
+        image_latents = latents * 0.5
+        ids = jnp.concatenate(
+            [latent_image_ids(h // 2, w // 2, 0), latent_image_ids(h // 2, w // 2, 1)],
+            axis=0,
+        )
+        embeds = jnp.zeros((b, s_txt, cfg.joint_attention_dim), jnp.bfloat16)
+        pooled = jnp.zeros((b, cfg.pooled_projection_dim), jnp.bfloat16)
+        sigmas = jnp.asarray(flow_sigmas(steps, s_tgt))
+        guidance = jnp.full((b,), 3.5, jnp.float32)
+
+        def call(lat):
+            return denoise_scan(
+                params,
+                cfg,
+                latents=lat,
+                image_latents=image_latents,
+                latent_ids=ids,
+                prompt_embeds=embeds,
+                pooled_embeds=pooled,
+                sigmas=sigmas,
+                guidance=guidance,
+                num_steps=steps,
+            )
+
+        # NOTE: on the axon TPU tunnel block_until_ready() is a no-op; the
+        # only reliable sync is fetching a value. Chain scans (each feeding
+        # the next) and fetch one scalar at the end.
+        def sync(lat):
+            return float(jnp.sum(lat.astype(jnp.float32)))
+
+        lat = call(latents)
+        sync(lat)  # compile + warm + sync
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            lat = call(lat)
+        sync(lat)
+        return (time.perf_counter() - t0) / reps
+
+    rows = []
+    for nd, ns in depths:
+        cfg, params = build(nd, ns)
+        t = run_once(cfg, params)
+        log(f"depth ({nd:2d} dual, {ns:2d} single): {t:.3f}s / {steps}-step scan "
+            f"({t / steps * 1000:.1f} ms/step)")
+        rows.append((nd, ns, t))
+        del params
+
+    # least-squares fit t = a*nd + b*ns + c
+    A = np.array([[nd, ns, 1.0] for nd, ns, _ in rows])
+    y = np.array([t for _, _, t in rows])
+    coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+    full_dual, full_single = (19, 38) if on_tpu else (2, 3)
+    t_full = float(coef @ [full_dual, full_single, 1.0])
+    imgs_per_sec = b / t_full
+    log(f"fit: dual {coef[0]*1000:.1f} ms, single {coef[1]*1000:.1f} ms, "
+        f"const {coef[2]*1000:.1f} ms -> full ({full_dual}+{full_single}) "
+        f"scan {t_full:.2f}s => {imgs_per_sec:.4f} img/s/chip")
+
+    baseline_per_chip = 0.25  # 2 img/s on 8 chips (BASELINE.json)
+    print(json.dumps({
+        "metric": "1024x1024 28-step FLUX-Kontext edits/sec/chip (full-depth extrapolated from depth-scaled timings)",
+        "value": round(imgs_per_sec, 5),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / baseline_per_chip, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

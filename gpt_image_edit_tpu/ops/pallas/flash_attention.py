@@ -106,13 +106,16 @@ def _flash_fwd_kernel(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
 )
-def _flash_attention_core(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv):
-    return _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv)
+def _flash_attention_core(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
+                          interpret=False):
+    return _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
+                      interpret)
 
 
-def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv):
+def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
+               interpret=False):
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     group = hq // hkv
@@ -181,6 +184,7 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv):
             bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
             transcendentals=b * hq * sq * skv,
         ),
+        interpret=interpret,
     )(qt, kt, vt, q_seg, kv_seg)
     return out.transpose(0, 2, 1, 3)
 
@@ -200,12 +204,12 @@ def _xla_reference(q, k, v, q_seg, kv_seg, causal, scale):
     )
 
 
-def _core_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv):
-    out = _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv)
+def _core_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv, interpret=False):
+    out = _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv, interpret)
     return out, (q, k, v, q_seg, kv_seg)
 
 
-def _core_bwd(causal, scale, block_q, block_kv, res, g):
+def _core_bwd(causal, scale, block_q, block_kv, interpret, res, g):
     q, k, v, q_seg, kv_seg = res
     _, vjp = jax.vjp(
         lambda q_, k_, v_: _xla_reference(q_, k_, v_, q_seg, kv_seg, causal, scale),
@@ -232,7 +236,7 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = 256,
     block_kv: int = 256,
-    interpret: bool = False,  # kept for API compat; tests use impl="xla" instead
+    interpret: bool = False,  # interpreter mode for CPU correctness tests
 ) -> jnp.ndarray:
     """BSHD flash attention. See ops.attention.dot_product_attention for args."""
     b, sq, hq, d = q.shape
@@ -256,7 +260,7 @@ def flash_attention(
         q_seg = q_segment_ids.astype(jnp.int32)
     kv_seg = _merge_kv_seg(kv_segment_ids, pad_mask, b, skv)
     return _flash_attention_core(
-        q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv
+        q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv, interpret
     )
 
 

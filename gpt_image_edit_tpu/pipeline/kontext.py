@@ -107,7 +107,11 @@ def denoise_scan(
         if do_cfg:
             neg = model(lat_in, sigma, neg_prompt_embeds, neg_pooled_embeds)
             pred = neg + true_cfg_scale * (pred - neg)
-        lat = lat + (sigma_next - sigma) * pred.astype(lat.dtype)
+        # Euler update in fp32, carry stays in the latent dtype
+        lat = (
+            lat.astype(jnp.float32)
+            + (sigma_next - sigma) * pred.astype(jnp.float32)
+        ).astype(lat.dtype)
         return lat, None
 
     sig_pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)

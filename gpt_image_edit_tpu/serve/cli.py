@@ -1,0 +1,95 @@
+"""Interactive REPL / one-shot CLI (ref:univa/serve/cli.py).
+
+Usage:
+  python -m gpt_image_edit_tpu.serve.cli --model_path <merged ckpt dir> \
+      [--flux_path <FLUX ckpt dir>] [--image in.png] [--prompt "..."] \
+      [--output out.png] [--steps 28] [--guidance 3.5]
+  python -m gpt_image_edit_tpu.serve.cli --tiny --prompt "demo" --image in.png
+
+Without --prompt it drops into a REPL: lines starting with `?` take the
+understanding branch (text answer); anything else edits the current image.
+`/load <path>` switches the conditioning image, `/save <path>` saves the last
+output, `exit` quits.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from PIL import Image
+
+from gpt_image_edit_tpu.serve.runtime import UnivaRuntime
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="GPT-Image-Edit TPU serving CLI")
+    p.add_argument("--model_path", type=str, default=None, help="merged UniVA checkpoint dir")
+    p.add_argument("--flux_path", type=str, default=None, help="FLUX checkpoint dir (for the VAE)")
+    p.add_argument("--tiny", action="store_true", help="random tiny weights (plumbing demo)")
+    p.add_argument("--image", type=str, default=None)
+    p.add_argument("--prompt", type=str, default=None)
+    p.add_argument("--output", type=str, default="output.png")
+    p.add_argument("--steps", type=int, default=28)
+    p.add_argument("--guidance", type=float, default=3.5)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--understand", action="store_true", help="text answer instead of edit")
+    return p
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    args = build_parser().parse_args(argv)
+    rt = UnivaRuntime(args.model_path, args.flux_path, tiny=args.tiny, seed=args.seed)
+    image = Image.open(args.image) if args.image else None
+
+    if args.prompt is not None:  # one-shot
+        if args.understand:
+            print(rt.answer(args.prompt, image))
+        else:
+            out = rt.edit(
+                args.prompt, image,
+                steps=args.steps, guidance=args.guidance,
+                height=args.height, width=args.width, seed=args.seed,
+            )
+            out.save(args.output)
+            print(f"saved {args.output} ({out.width}x{out.height})")
+        return 0
+
+    # REPL
+    last = None
+    print("REPL: '?question' answers; 'instruction' edits; /load /save, exit")
+    while True:
+        try:
+            line = input(">>> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            break
+        if not line:
+            continue
+        if line in ("exit", "quit"):
+            break
+        if line.startswith("/load "):
+            image = Image.open(line[6:].strip())
+            print(f"loaded {image.width}x{image.height}")
+            continue
+        if line.startswith("/save "):
+            if last is None:
+                print("nothing to save")
+            else:
+                last.save(line[6:].strip())
+                print("saved")
+            continue
+        if line.startswith("?"):
+            print(rt.answer(line[1:].strip(), image))
+        else:
+            last = rt.edit(line, image, steps=args.steps, guidance=args.guidance)
+            image = last  # history: edit output becomes next conditioning
+            print(f"edited ({last.width}x{last.height}); /save to write out")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

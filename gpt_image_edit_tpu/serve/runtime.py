@@ -1,0 +1,261 @@
+"""Serving runtime: merged checkpoint -> chat -> edit image / text answer.
+
+Covers ref:univa/serve/cli.py's flow: ChatML conversation, LVLM
+denoise_embeds, task-head generate-vs-understand routing (:199-207),
+FluxKontext sampling with history images as conditioning (:210-254), and an
+LM generate branch (:256-267)."""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from gpt_image_edit_tpu.data import constants as C
+from gpt_image_edit_tpu.data.image_processing import (
+    preprocess_vae_image,
+    preprocess_vit_patches,
+    smart_resize,
+)
+from gpt_image_edit_tpu.data.prompter import Qwen2VLPrompter
+from gpt_image_edit_tpu.data.tokenizer import load_tokenizer
+from gpt_image_edit_tpu.models.flux import FluxConfig, init_flux
+from gpt_image_edit_tpu.models.qwen2p5vl import (
+    Qwen2p5VLConfig,
+    apply_qwen,
+    init_qwen,
+)
+from gpt_image_edit_tpu.models.qwen2p5vl import language, vision
+from gpt_image_edit_tpu.models.qwen2p5vl.rope_index import get_rope_index
+from gpt_image_edit_tpu.models.vae import VaeConfig, init_vae
+from gpt_image_edit_tpu.pipeline.kontext import (
+    KontextPipeline,
+    pick_kontext_resolution,
+    postprocess_to_uint8,
+)
+
+log = logging.getLogger("gie_tpu.serve")
+
+
+def update_size(img: Optional[Image.Image], default: int = 1024) -> Tuple[int, int]:
+    """Adaptive output size from the input aspect (ref:cli.py:82-97), snapped
+    to the Kontext bucket table."""
+    if img is None:
+        return default, default
+    w, h = pick_kontext_resolution(img.width, img.height)
+    return h, w
+
+
+class UnivaRuntime:
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        flux_path: Optional[str] = None,
+        *,
+        tiny: bool = False,
+        seed: int = 0,
+    ):
+        self.prompter = Qwen2VLPrompter()
+        self.history_images: List[Image.Image] = []
+
+        if tiny or not model_path:
+            log.info("loading TINY random-weight models (demo mode)")
+            self.qcfg = Qwen2p5VLConfig.tiny()
+            self.fcfg = dataclasses.replace(
+                FluxConfig.tiny(), joint_attention_dim=self.qcfg.projector_out
+            )
+            self.vcfg = VaeConfig.tiny()
+            self.qwen_params = init_qwen(jax.random.key(0), self.qcfg)
+            flux_params = init_flux(jax.random.key(1), self.fcfg)
+            vae_params = init_vae(jax.random.key(2), self.vcfg)
+            self.tokenizer = load_tokenizer("fake")
+        else:
+            from gpt_image_edit_tpu.utils.ckpt_convert import (
+                TensorSource,
+                convert_vae,
+                load_merged_checkpoint,
+            )
+
+            self.qcfg, self.fcfg, self.vcfg = Qwen2p5VLConfig(), FluxConfig(), VaeConfig()
+            self.qwen_params, flux_params = load_merged_checkpoint(
+                model_path, self.qcfg, self.fcfg
+            )
+            vae_dir = flux_path or model_path
+            vae_params = convert_vae(TensorSource.from_dir(f"{vae_dir}/vae"), self.vcfg)
+            self.tokenizer = load_tokenizer(model_path)
+
+        self.pipe = KontextPipeline(flux_params, self.fcfg, vae_params, self.vcfg)
+        self.rng = jax.random.key(seed)
+
+    # ------------------------------------------------------------------
+    def _encode_prompt(self, conversation, images: List[Image.Image]):
+        """ChatML + <image> expansion -> LVLM denoise_embeds."""
+        prompt = self.prompter(conversation, add_generation_prompt=True)
+        prompt += C.SPECIAL_TOKENS["image_begin_token"]  # generation trigger
+
+        patches, grids = [], []
+        for img in images:
+            flat, grid = preprocess_vit_patches(
+                img,
+                patch_size=self.qcfg.vision.patch_size,
+                merge_size=self.qcfg.vision.spatial_merge_size,
+                temporal_patch_size=self.qcfg.vision.temporal_patch_size,
+                min_pixels=200704 if self.qcfg.vision.patch_size == 14 else 3136,
+                max_pixels=200704 if self.qcfg.vision.patch_size == 14 else 3136,
+            )
+            patches.append(flat)
+            grids.append(grid)
+            n = int(np.prod(grid)) // self.qcfg.vision.merge_unit
+            expansion = (
+                C.SPECIAL_TOKENS["image_begin_token"]
+                + C.SPECIAL_TOKENS["image_token"] * n
+                + C.SPECIAL_TOKENS["image_end_token"]
+            )
+            prompt = prompt.replace("<image>", expansion, 1)
+
+        input_ids = np.asarray([self.tokenizer.encode(prompt)], dtype=np.int64)
+        attn = np.ones_like(input_ids)
+        grid_thw = np.asarray(grids, dtype=np.int64) if grids else None
+        pos, _ = get_rope_index(
+            input_ids, grid_thw, attn,
+            spatial_merge_size=self.qcfg.vision.spatial_merge_size,
+            image_token_id=self.qcfg.image_token_id,
+            video_token_id=self.qcfg.video_token_id,
+            vision_start_token_id=self.qcfg.vision_start_token_id,
+        )
+        kwargs = dict(
+            input_ids=jnp.asarray(input_ids),
+            position_ids=jnp.asarray(pos),
+            attention_mask=jnp.asarray(attn),
+        )
+        if patches:
+            kwargs["pixel_patches"] = jnp.asarray(np.concatenate(patches, 0))
+            kwargs["vision_aux"] = vision.vision_precompute(grid_thw, self.qcfg.vision)
+        embeds = apply_qwen(self.qwen_params, self.qcfg, output_type="denoise_embeds", **kwargs)
+        return embeds, kwargs
+
+    # ------------------------------------------------------------------
+    def edit(
+        self,
+        instruction: str,
+        image: Optional[Image.Image] = None,
+        *,
+        steps: int = 28,
+        guidance: float = 3.5,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        seed: Optional[int] = None,
+    ) -> Image.Image:
+        images = [image] if image is not None else []
+        value = ("<image>" if image is not None else "") + instruction
+        conversation = [{"from": "user", "value": value}]
+        embeds, _ = self._encode_prompt(conversation, images)
+
+        if height is None or width is None:
+            height, width = update_size(image)
+        if self.vcfg.downscale != 8:  # tiny demo: keep it small
+            height = width = 8 * self.vcfg.downscale
+
+        cond = None
+        if image is not None:
+            bw, bh = pick_kontext_resolution(image.width, image.height)
+            if self.vcfg.downscale != 8:
+                bw = bh = height
+            cond = jnp.asarray(preprocess_vae_image(image, bh, bw))[None]
+
+        rng = jax.random.key(seed) if seed is not None else self.rng
+        self.rng, sample_rng = jax.random.split(rng)
+        out = self.pipe(
+            prompt_embeds=embeds.astype(jnp.bfloat16),
+            pooled_prompt_embeds=jnp.zeros(
+                (1, self.fcfg.pooled_projection_dim), jnp.bfloat16
+            ),
+            image=cond,
+            height=height,
+            width=width,
+            num_inference_steps=steps,
+            guidance_scale=guidance,
+            rng=sample_rng,
+        )
+        arr = postprocess_to_uint8(out)[0]
+        return Image.fromarray(arr)
+
+    # ------------------------------------------------------------------
+    def answer(
+        self,
+        question: str,
+        image: Optional[Image.Image] = None,
+        *,
+        max_new_tokens: int = 64,
+    ) -> str:
+        """Understanding branch: greedy decode (ref:cli.py:256-267).
+
+        Round-1 implementation recomputes the prefix each token (no KV cache
+        yet); fine for short REPL answers."""
+        images = [image] if image is not None else []
+        value = ("<image>" if image is not None else "") + question
+        conversation = [{"from": "user", "value": value}]
+        prompt = self.prompter(conversation, add_generation_prompt=True)
+
+        patches, grids = [], []
+        for img in images:
+            flat, grid = preprocess_vit_patches(
+                img,
+                patch_size=self.qcfg.vision.patch_size,
+                merge_size=self.qcfg.vision.spatial_merge_size,
+                min_pixels=200704 if self.qcfg.vision.patch_size == 14 else 3136,
+                max_pixels=200704 if self.qcfg.vision.patch_size == 14 else 3136,
+            )
+            patches.append(flat)
+            grids.append(grid)
+            n = int(np.prod(grid)) // self.qcfg.vision.merge_unit
+            expansion = (
+                C.SPECIAL_TOKENS["image_begin_token"]
+                + C.SPECIAL_TOKENS["image_token"] * n
+                + C.SPECIAL_TOKENS["image_end_token"]
+            )
+            prompt = prompt.replace("<image>", expansion, 1)
+
+        ids = list(self.tokenizer.encode(prompt))
+        grid_thw = np.asarray(grids, dtype=np.int64) if grids else None
+        out_tokens: List[int] = []
+        image_embeds = None
+        if patches:
+            image_embeds = vision.apply(
+                self.qwen_params["visual"],
+                self.qcfg.vision,
+                jnp.asarray(np.concatenate(patches, 0)),
+                vision.vision_precompute(grid_thw, self.qcfg.vision),
+            )
+        for _ in range(max_new_tokens):
+            input_ids = np.asarray([ids], dtype=np.int64)
+            attn = np.ones_like(input_ids)
+            pos, _ = get_rope_index(
+                input_ids, grid_thw, attn,
+                spatial_merge_size=self.qcfg.vision.spatial_merge_size,
+                image_token_id=self.qcfg.image_token_id,
+                video_token_id=self.qcfg.video_token_id,
+                vision_start_token_id=self.qcfg.vision_start_token_id,
+            )
+            logits = apply_qwen(
+                self.qwen_params,
+                self.qcfg,
+                input_ids=jnp.asarray(input_ids),
+                position_ids=jnp.asarray(pos),
+                attention_mask=jnp.asarray(attn),
+                image_embeds=image_embeds,
+                output_type="lvlm",
+            )
+            nxt = int(jnp.argmax(logits[0, -1]))
+            if nxt == getattr(self.tokenizer, "eos_token_id", C.IM_END_ID):
+                break
+            out_tokens.append(nxt)
+            ids.append(nxt)
+        if hasattr(self.tokenizer, "decode"):
+            return self.tokenizer.decode(out_tokens, skip_special_tokens=True)
+        return " ".join(map(str, out_tokens))

@@ -92,6 +92,19 @@ class TestDenoiseScan:
         assert np.isfinite(np.asarray(out)).all()
         assert np.abs(np.asarray(out - hidden)).max() > 1e-3
 
+    def test_bf16_latents(self):
+        cfg, params, hidden, txt, pooled, img_ids, t, g = _setup()
+        sigmas = jnp.asarray(flow_sigmas(2, hidden.shape[1]))
+        out = denoise_scan(
+            params, cfg,
+            latents=hidden.astype(jnp.bfloat16), image_latents=None,
+            latent_ids=img_ids, prompt_embeds=txt.astype(jnp.bfloat16),
+            pooled_embeds=pooled.astype(jnp.bfloat16), sigmas=sigmas,
+            guidance=g, num_steps=2,
+        )
+        assert out.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
     def test_true_cfg_branch(self):
         cfg, params, hidden, txt, pooled, img_ids, t, g = _setup()
         sigmas = jnp.asarray(flow_sigmas(2, hidden.shape[1]))
