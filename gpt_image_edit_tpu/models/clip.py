@@ -1,0 +1,144 @@
+"""CLIP-L text encoder (pooled embeds for FLUX), functional JAX.
+
+Parity target: the CLIPTextModel loaded from the FLUX checkpoint
+(ref:train_denoiser.py:408-426,
+ref:univa/utils/denoiser_prompt_embedding_flux.py:61-104 — the reference uses
+`pooled_output` = final-LN hidden state at the EOS position)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gpt_image_edit_tpu.models.common import (
+    Params,
+    layer_norm_init,
+    linear,
+    linear_init,
+)
+from gpt_image_edit_tpu.ops.attention import dot_product_attention
+from gpt_image_edit_tpu.ops.norms import layer_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipTextConfig:
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 77
+    eos_token_id: int = 49407
+    ln_eps: float = 1e-5
+
+    @classmethod
+    def tiny(cls) -> "ClipTextConfig":
+        return cls(vocab_size=512, hidden_size=32, num_layers=2, num_heads=2,
+                   intermediate_size=64, max_position_embeddings=16, eos_token_id=511)
+
+
+def _layer_init(rng, cfg: ClipTextConfig) -> Params:
+    d = cfg.hidden_size
+    ks = jax.random.split(rng, 6)
+    return {
+        "ln1": layer_norm_init(d),
+        "attn": {
+            "q": linear_init(ks[0], d, d),
+            "k": linear_init(ks[1], d, d),
+            "v": linear_init(ks[2], d, d),
+            "o": linear_init(ks[3], d, d),
+        },
+        "ln2": layer_norm_init(d),
+        "mlp": {
+            "fc1": linear_init(ks[4], d, cfg.intermediate_size),
+            "fc2": linear_init(ks[5], cfg.intermediate_size, d),
+        },
+    }
+
+
+def init(rng: jax.Array, cfg: ClipTextConfig) -> Params:
+    ks = jax.random.split(rng, 4)
+    layers = [_layer_init(k, cfg) for k in jax.random.split(ks[0], cfg.num_layers)]
+    return {
+        "token_embed": jax.random.normal(ks[1], (cfg.vocab_size, cfg.hidden_size)) * 0.02,
+        "pos_embed": jax.random.normal(ks[2], (cfg.max_position_embeddings, cfg.hidden_size)) * 0.02,
+        "layers": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers),
+        "final_ln": layer_norm_init(cfg.hidden_size),
+    }
+
+
+def _quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def apply(
+    params: Params,
+    cfg: ClipTextConfig,
+    input_ids: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, S) -> (hidden (B, S, D), pooled (B, D)).
+
+    pooled = final-LN hidden at the first EOS position (CLIPTextModel
+    pooler for models with an explicit eos_token_id)."""
+    b, s = input_ids.shape
+    x = params["token_embed"][input_ids] + params["pos_embed"][:s]
+
+    h, hd = cfg.num_heads, cfg.hidden_size // cfg.num_heads
+
+    def layer(x, p):
+        xn = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.ln_eps)
+        q = linear(p["attn"]["q"], xn).reshape(b, s, h, hd)
+        k = linear(p["attn"]["k"], xn).reshape(b, s, h, hd)
+        v = linear(p["attn"]["v"], xn).reshape(b, s, h, hd)
+        attn = dot_product_attention(q, k, v, causal=True, impl="xla")
+        x = x + linear(p["attn"]["o"], attn.reshape(b, s, -1))
+        xn = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], cfg.ln_eps)
+        x = x + linear(p["mlp"]["fc2"], _quick_gelu(linear(p["mlp"]["fc1"], xn)))
+        return x, None
+
+    x, _ = jax.lax.scan(lambda c, p: layer(c, p), x, params["layers"])
+    x = layer_norm(x, params["final_ln"]["scale"], params["final_ln"]["bias"], cfg.ln_eps)
+
+    eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
+    pooled = x[jnp.arange(b), eos_pos]
+    return x, pooled
+
+
+def convert_clip(src, cfg: ClipTextConfig, prefix: str = "text_model.") -> Params:
+    from gpt_image_edit_tpu.utils.ckpt_convert import _lin, _stack
+
+    def _ln(key):
+        return {
+            "scale": jnp.asarray(src.get(f"{key}.weight")),
+            "bias": jnp.asarray(src.get(f"{key}.bias")),
+        }
+
+    p = prefix
+    layers = []
+    for i in range(cfg.num_layers):
+        b = f"{p}encoder.layers.{i}."
+        layers.append(
+            {
+                "ln1": _ln(f"{b}layer_norm1"),
+                "attn": {
+                    "q": _lin(src, f"{b}self_attn.q_proj"),
+                    "k": _lin(src, f"{b}self_attn.k_proj"),
+                    "v": _lin(src, f"{b}self_attn.v_proj"),
+                    "o": _lin(src, f"{b}self_attn.out_proj"),
+                },
+                "ln2": _ln(f"{b}layer_norm2"),
+                "mlp": {
+                    "fc1": _lin(src, f"{b}mlp.fc1"),
+                    "fc2": _lin(src, f"{b}mlp.fc2"),
+                },
+            }
+        )
+    return {
+        "token_embed": jnp.asarray(src.get(f"{p}embeddings.token_embedding.weight")),
+        "pos_embed": jnp.asarray(src.get(f"{p}embeddings.position_embedding.weight")),
+        "layers": _stack(layers),
+        "final_ln": _ln(f"{p}final_layer_norm"),
+    }

@@ -27,6 +27,9 @@ class FluxConfig:
     rope_theta: float = 10000.0
     mlp_ratio: float = 4.0
     time_embed_dim: int = 256
+    # jax.remat on each block body (the reference's gradient_checkpointing,
+    # ref:train_denoiser.py:484-486)
+    remat: bool = False
 
     @property
     def inner_dim(self) -> int:

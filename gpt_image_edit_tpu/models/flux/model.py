@@ -308,10 +308,22 @@ def apply(
     ids = jnp.concatenate([txt_ids, img_ids], axis=0)
     cos, sin = flux_rope_freqs(ids, cfg.axes_dims_rope, cfg.rope_theta)
 
+    dual_fn = _dual_block
+    single_fn = _single_block
+    if cfg.remat:
+        dual_fn = jax.checkpoint(
+            _dual_block, policy=jax.checkpoint_policies.nothing_saveable,
+            static_argnums=(6,),
+        )
+        single_fn = jax.checkpoint(
+            _single_block, policy=jax.checkpoint_policies.nothing_saveable,
+            static_argnums=(5,),
+        )
+
     def dual_body(carry, xs):
         img_c, txt_c = carry
         p, gate = xs
-        img_n, txt_n = _dual_block(p, img_c, txt_c, temb, cos, sin, cfg, pad_mask)
+        img_n, txt_n = dual_fn(p, img_c, txt_c, temb, cos, sin, cfg, pad_mask)
         if gate is not None:
             img_n = img_c + gate * (img_n - img_c)
             txt_n = txt_c + gate * (txt_n - txt_c)
@@ -328,7 +340,7 @@ def apply(
 
     def single_body(carry, xs):
         p, gate = xs
-        x_n = _single_block(p, carry, temb, cos, sin, cfg, pad_mask)
+        x_n = single_fn(p, carry, temb, cos, sin, cfg, pad_mask)
         if gate is not None:
             x_n = carry + gate * (x_n - carry)
         return x_n, None

