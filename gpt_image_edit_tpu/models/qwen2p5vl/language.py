@@ -105,3 +105,102 @@ def logits(params: Params, cfg: TextConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     if cfg.tie_word_embeddings:
         return jnp.dot(hidden, params["embed_tokens"].T.astype(hidden.dtype))
     return linear(params["lm_head"], hidden)
+
+
+# --------------------------------------------------------------------------
+# KV-cache decoding (the `model.generate` analogue, ref:cli.py:256-267)
+# --------------------------------------------------------------------------
+
+def _layer_with_cache(p: Params, x, cos, sin, cache_k, cache_v, pad_mask, cfg: TextConfig):
+    """x: (B, S, D) new tokens; cache_k/v: (B, S_cache, Hkv, hd) with this
+    layer's past already written at positions [0, offset); pad_mask covers
+    the full cache length. Returns (out, new_k, new_v) for the new tokens."""
+    b, s, d = x.shape
+    h, hk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    xn = rms_norm(x, p["input_ln"]["scale"], cfg.rms_eps)
+    q = linear(p["attn"]["q"], xn).reshape(b, s, h, hd)
+    k = linear(p["attn"]["k"], xn).reshape(b, s, hk, hd)
+    v = linear(p["attn"]["v"], xn).reshape(b, s, hk, hd)
+    q = apply_rope_halves(q.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
+    k = apply_rope_halves(k.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
+    return q, k, v
+
+
+def prefill(
+    params: Params,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,
+    position_ids: jnp.ndarray,       # (3, B, S)
+    pad_mask: Optional[jnp.ndarray],
+    max_len: int,
+):
+    """Full forward building a (layers, B, max_len, Hkv, hd) KV cache.
+    Returns (last_hidden (B, S, D), cache {k, v})."""
+    b, s, _ = inputs_embeds.shape
+    hk, hd = cfg.num_kv_heads, cfg.head_dim
+    cos, sin = mrope_freqs(position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
+
+    n_layers = cfg.num_layers
+    cache_k = jnp.zeros((n_layers, b, max_len, hk, hd), inputs_embeds.dtype)
+    cache_v = jnp.zeros((n_layers, b, max_len, hk, hd), inputs_embeds.dtype)
+
+    x = inputs_embeds
+    def body(carry, xs):
+        x = carry
+        p, li = xs
+        bq, k, v = _layer_with_cache(p, x, cos, sin, None, None, pad_mask, cfg)
+        attn = dot_product_attention(bq, k, v, causal=True, pad_mask=pad_mask)
+        h = cfg.num_heads
+        x2 = x + linear(p["attn"]["o"], attn.reshape(b, s, h * hd))
+        xn = rms_norm(x2, p["post_ln"]["scale"], cfg.rms_eps)
+        mlp = linear(
+            p["mlp"]["down"],
+            jax.nn.silu(linear(p["mlp"]["gate"], xn)) * linear(p["mlp"]["up"], xn),
+        )
+        return x2 + mlp, (k, v)
+
+    x, kvs = jax.lax.scan(
+        body, x, (params["layers"], jnp.arange(n_layers))
+    )
+    ks, vs = kvs  # (layers, B, S, hk, hd)
+    cache_k = cache_k.at[:, :, :s].set(ks)
+    cache_v = cache_v.at[:, :, :s].set(vs)
+    x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_eps)
+    return x, (cache_k, cache_v)
+
+
+def decode_step(
+    params: Params,
+    cfg: TextConfig,
+    token_embed: jnp.ndarray,     # (B, 1, D)
+    position_id: jnp.ndarray,     # (3, B, 1)
+    cache,                        # (cache_k, cache_v) (L, B, max_len, hk, hd)
+    offset: jnp.ndarray,          # scalar int32: tokens already in cache
+    pad_mask: jnp.ndarray,        # (B, max_len) — 1 for valid cache slots
+):
+    """One greedy decode step; returns (logits (B, V), new_cache)."""
+    cache_k, cache_v = cache
+    b = token_embed.shape[0]
+    h, hk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    cos, sin = mrope_freqs(position_id, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
+
+    def body(carry, xs):
+        x = carry
+        p, ck, cv = xs
+        q, k, v = _layer_with_cache(p, x, cos, sin, None, None, None, cfg)
+        ck = jax.lax.dynamic_update_slice(ck, k, (0, offset, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v, (0, offset, 0, 0))
+        attn = dot_product_attention(q, ck, cv, pad_mask=pad_mask)
+        x2 = x + linear(p["attn"]["o"], attn.reshape(b, 1, h * hd))
+        xn = rms_norm(x2, p["post_ln"]["scale"], cfg.rms_eps)
+        mlp = linear(
+            p["mlp"]["down"],
+            jax.nn.silu(linear(p["mlp"]["gate"], xn)) * linear(p["mlp"]["up"], xn),
+        )
+        return x2 + mlp, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(
+        body, token_embed, (params["layers"], cache_k, cache_v)
+    )
+    x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_eps)
+    return logits(params, cfg, x)[:, 0], (cache_k, cache_v)

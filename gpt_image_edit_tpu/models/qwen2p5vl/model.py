@@ -100,6 +100,71 @@ def apply(
     raise ValueError(f"unknown output_type: {output_type}")
 
 
+def generate_greedy(
+    params: Params,
+    cfg: Qwen2p5VLConfig,
+    *,
+    input_ids: jnp.ndarray,            # (B, S)
+    position_ids: jnp.ndarray,         # (3, B, S)
+    rope_delta: int,                   # mrope delta from rope_index (scalar)
+    attention_mask: Optional[jnp.ndarray] = None,
+    pixel_patches: Optional[jnp.ndarray] = None,
+    vision_aux: Optional[VisionAux] = None,
+    image_embeds: Optional[jnp.ndarray] = None,
+    max_new_tokens: int = 64,
+    eos_token_id: int = 151645,
+):
+    """KV-cache greedy decoding (the reference's `model.generate` path,
+    ref:cli.py:256-267; positions continue at max_pos via mrope deltas,
+    ref:modeling_univa_qwen2p5vl.py:466-479)."""
+    from gpt_image_edit_tpu.models.qwen2p5vl import language, vision
+
+    b, s = input_ids.shape
+    max_len = s + max_new_tokens
+
+    embeds = language.embed(params["lm"], input_ids)
+    if pixel_patches is not None:
+        image_embeds = vision.apply(
+            params["visual"], cfg.vision, pixel_patches.astype(embeds.dtype), vision_aux
+        )
+    if image_embeds is not None:
+        embeds = scatter_image_embeds(
+            embeds, image_embeds, input_ids == cfg.image_token_id
+        )
+
+    hidden, cache = jax.jit(
+        language.prefill, static_argnames=("cfg", "max_len")
+    )(params["lm"], cfg.text, embeds, position_ids, attention_mask, max_len)
+    first_logits = language.logits(params["lm"], cfg.text, hidden[:, -1:])[:, 0]
+
+    import numpy as np
+
+    step_jit = jax.jit(language.decode_step, static_argnames=("cfg",))
+    base_mask = np.zeros((b, max_len), np.bool_)
+    base_mask[:, :s] = (
+        np.asarray(attention_mask, bool) if attention_mask is not None else True
+    )
+
+    tokens = []
+    next_tok = jnp.argmax(first_logits, axis=-1)  # (B,)
+    pos0 = int(jnp.max(position_ids)) + 1
+    for step in range(max_new_tokens):
+        tok = int(next_tok[0])
+        if tok == eos_token_id:
+            break
+        tokens.append(tok)
+        emb = language.embed(params["lm"], next_tok[:, None])
+        pos = jnp.full((3, b, 1), pos0 + step, dtype=position_ids.dtype)
+        mask = base_mask.copy()
+        mask[:, s : s + step + 1] = True
+        lg, cache = step_jit(
+            params["lm"], cfg.text, emb, pos, cache,
+            jnp.asarray(s + step, jnp.int32), jnp.asarray(mask),
+        )
+        next_tok = jnp.argmax(lg, axis=-1)
+    return tokens
+
+
 @register_model("qwen2p5vl")
 class UnivaQwen2p5VL:
     """Thin OO facade over the functional init/apply pair."""

@@ -193,10 +193,7 @@ class UnivaRuntime:
         *,
         max_new_tokens: int = 64,
     ) -> str:
-        """Understanding branch: greedy decode (ref:cli.py:256-267).
-
-        Round-1 implementation recomputes the prefix each token (no KV cache
-        yet); fine for short REPL answers."""
+        """Understanding branch: KV-cache greedy decode (ref:cli.py:256-267)."""
         images = [image] if image is not None else []
         value = ("<image>" if image is not None else "") + question
         conversation = [{"from": "user", "value": value}]
@@ -221,41 +218,34 @@ class UnivaRuntime:
             )
             prompt = prompt.replace("<image>", expansion, 1)
 
-        ids = list(self.tokenizer.encode(prompt))
+        from gpt_image_edit_tpu.models.qwen2p5vl.model import generate_greedy
+
+        input_ids = np.asarray([self.tokenizer.encode(prompt)], dtype=np.int64)
+        attn = np.ones_like(input_ids)
         grid_thw = np.asarray(grids, dtype=np.int64) if grids else None
-        out_tokens: List[int] = []
-        image_embeds = None
+        pos, deltas = get_rope_index(
+            input_ids, grid_thw, attn,
+            spatial_merge_size=self.qcfg.vision.spatial_merge_size,
+            image_token_id=self.qcfg.image_token_id,
+            video_token_id=self.qcfg.video_token_id,
+            vision_start_token_id=self.qcfg.vision_start_token_id,
+        )
+        kwargs = {}
         if patches:
-            image_embeds = vision.apply(
-                self.qwen_params["visual"],
-                self.qcfg.vision,
-                jnp.asarray(np.concatenate(patches, 0)),
-                vision.vision_precompute(grid_thw, self.qcfg.vision),
+            kwargs = dict(
+                pixel_patches=jnp.asarray(np.concatenate(patches, 0)),
+                vision_aux=vision.vision_precompute(grid_thw, self.qcfg.vision),
             )
-        for _ in range(max_new_tokens):
-            input_ids = np.asarray([ids], dtype=np.int64)
-            attn = np.ones_like(input_ids)
-            pos, _ = get_rope_index(
-                input_ids, grid_thw, attn,
-                spatial_merge_size=self.qcfg.vision.spatial_merge_size,
-                image_token_id=self.qcfg.image_token_id,
-                video_token_id=self.qcfg.video_token_id,
-                vision_start_token_id=self.qcfg.vision_start_token_id,
-            )
-            logits = apply_qwen(
-                self.qwen_params,
-                self.qcfg,
-                input_ids=jnp.asarray(input_ids),
-                position_ids=jnp.asarray(pos),
-                attention_mask=jnp.asarray(attn),
-                image_embeds=image_embeds,
-                output_type="lvlm",
-            )
-            nxt = int(jnp.argmax(logits[0, -1]))
-            if nxt == getattr(self.tokenizer, "eos_token_id", C.IM_END_ID):
-                break
-            out_tokens.append(nxt)
-            ids.append(nxt)
+        out_tokens = generate_greedy(
+            self.qwen_params, self.qcfg,
+            input_ids=jnp.asarray(input_ids),
+            position_ids=jnp.asarray(pos),
+            rope_delta=int(deltas[0, 0]),
+            attention_mask=jnp.asarray(attn),
+            max_new_tokens=max_new_tokens,
+            eos_token_id=getattr(self.tokenizer, "eos_token_id", C.IM_END_ID),
+            **kwargs,
+        )
         if hasattr(self.tokenizer, "decode"):
             return self.tokenizer.decode(out_tokens, skip_special_tokens=True)
         return " ".join(map(str, out_tokens))

@@ -198,6 +198,46 @@ class TestFullModel:
         np.testing.assert_array_equal(pos, ref_pos.numpy())
         np.testing.assert_array_equal(delta, ref_delta.numpy())
 
+    def test_generate_greedy_matches_hf(self, hf_model, our_setup):
+        """KV-cache greedy decode == HF generate(do_sample=False)."""
+        from gpt_image_edit_tpu.models.qwen2p5vl.model import generate_greedy
+
+        cfg, params = our_setup
+        input_ids, grid_thw, px = self._build_inputs(cfg)
+        attn = np.ones_like(input_ids)
+        with torch.no_grad():
+            ref = hf_model.generate(
+                input_ids=torch.tensor(input_ids),
+                attention_mask=torch.tensor(attn),
+                pixel_values=torch.tensor(px),
+                image_grid_thw=torch.tensor(grid_thw),
+                max_new_tokens=8,
+                do_sample=False,
+                eos_token_id=999,
+                pad_token_id=0,
+            )
+        ref_new = ref[0, input_ids.shape[1]:].tolist()
+
+        pos_ids, deltas = get_rope_index(
+            input_ids, grid_thw, attn,
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            image_token_id=IMAGE_TOKEN, video_token_id=VIDEO_TOKEN,
+            vision_start_token_id=VISION_START,
+        )
+        aux = vision_mod.vision_precompute(grid_thw, cfg.vision)
+        ours = generate_greedy(
+            params, cfg,
+            input_ids=jnp.asarray(input_ids),
+            position_ids=jnp.asarray(pos_ids),
+            rope_delta=int(deltas[0, 0]),
+            attention_mask=jnp.asarray(attn),
+            pixel_patches=jnp.asarray(px),
+            vision_aux=aux,
+            max_new_tokens=8,
+            eos_token_id=999,
+        )
+        assert ours == ref_new[: len(ours)] and len(ours) >= 6, (ours, ref_new)
+
     def test_denoise_embeds_shape(self, our_setup):
         cfg, params = our_setup
         # attach a random projector (merged ckpts carry it; HF one doesn't)
