@@ -53,11 +53,18 @@ class EditDataset:
         merge_size: int = 2,
         temporal_patch_size: int = 2,
         latent_downscale: int = 8,
+        use_native: bool = True,  # C++ image-prep library when buildable
     ):
         self.patch_size = patch_size
         self.merge_size = merge_size
         self.temporal_patch_size = temporal_patch_size
         self.latent_downscale = latent_downscale
+        if use_native:
+            from gpt_image_edit_tpu.data import native as _native
+
+            self._vit_fn = _native.preprocess_vit_patches_native
+        else:
+            self._vit_fn = preprocess_vit_patches
         self.tokenizer = tokenizer
         self.prompter = Qwen2VLPrompter()
         self.height, self.width = height, width
@@ -158,7 +165,7 @@ class EditDataset:
         pixel_patches, grids, ref_pixels = [], [], []
         for ref in refs:
             ref_fit = fit_ref_to_target(ref, th, tw)
-            flat, grid = preprocess_vit_patches(
+            flat, grid = self._vit_fn(
                 ref,
                 patch_size=self.patch_size,
                 merge_size=self.merge_size,

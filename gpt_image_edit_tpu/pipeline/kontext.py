@@ -148,6 +148,22 @@ class KontextPipeline:
         ids = latent_image_ids(h // 2, w // 2, modality=1)
         return packed, ids
 
+    def encode_references(self, images) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Multiple conditioning images (OmniContext-style multi-ref,
+        ref:univa/eval/omnicontext/inference.py:146-290): each VAE-encoded,
+        packed, and concatenated along the sequence dim; the k-th reference
+        gets rope modality id k+1."""
+        packed_list, ids_list = [], []
+        for k, img in enumerate(images):
+            lat = self._encode(img)
+            _, h, w, _ = lat.shape
+            packed_list.append(pack_latents(lat))
+            ids_list.append(latent_image_ids(h // 2, w // 2, modality=k + 1))
+        return (
+            jnp.concatenate(packed_list, axis=1),
+            jnp.concatenate(ids_list, axis=0),
+        )
+
     def __call__(
         self,
         *,
@@ -182,7 +198,10 @@ class KontextPipeline:
 
         latent_ids = latent_image_ids(lat_h // 2, lat_w // 2, modality=0)
         if image is not None:
-            image_latents, image_ids = self.encode_reference(image)
+            if isinstance(image, (list, tuple)):
+                image_latents, image_ids = self.encode_references(image)
+            else:
+                image_latents, image_ids = self.encode_reference(image)
             image_latents = image_latents.astype(latents.dtype)
         if image_latents is not None:
             assert image_ids is not None

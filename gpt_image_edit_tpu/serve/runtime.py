@@ -143,7 +143,7 @@ class UnivaRuntime:
     def edit(
         self,
         instruction: str,
-        image: Optional[Image.Image] = None,
+        image=None,  # PIL.Image, list of PIL.Images (multi-ref), or None (t2i)
         *,
         steps: int = 28,
         guidance: float = 3.5,
@@ -151,22 +151,29 @@ class UnivaRuntime:
         width: Optional[int] = None,
         seed: Optional[int] = None,
     ) -> Image.Image:
-        images = [image] if image is not None else []
-        value = ("<image>" if image is not None else "") + instruction
+        images = (
+            list(image) if isinstance(image, (list, tuple))
+            else ([image] if image is not None else [])
+        )
+        value = "<image>" * len(images) + instruction
         conversation = [{"from": "user", "value": value}]
         embeds, _ = self._encode_prompt(conversation, images)
 
+        first = images[0] if images else None
         if height is None or width is None:
-            height, width = update_size(image)
+            height, width = update_size(first)
         if self.vcfg.downscale != 8:  # tiny demo: keep it small
             height = width = 8 * self.vcfg.downscale
 
         cond = None
-        if image is not None:
-            bw, bh = pick_kontext_resolution(image.width, image.height)
-            if self.vcfg.downscale != 8:
-                bw = bh = height
-            cond = jnp.asarray(preprocess_vae_image(image, bh, bw))[None]
+        if images:
+            conds = []
+            for im in images:
+                bw, bh = pick_kontext_resolution(im.width, im.height)
+                if self.vcfg.downscale != 8:
+                    bw = bh = height
+                conds.append(jnp.asarray(preprocess_vae_image(im, bh, bw))[None])
+            cond = conds if len(conds) > 1 else conds[0]
 
         rng = jax.random.key(seed) if seed is not None else self.rng
         self.rng, sample_rng = jax.random.split(rng)
