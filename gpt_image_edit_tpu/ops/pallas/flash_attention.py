@@ -45,6 +45,7 @@ def _resident_kernel(
     qseg_ref,  # (1, bq)
     kseg_ref,  # (1, skv)
     o_ref,     # (1, 1, bq, d)
+    lse_ref,   # (1, 1, bq, 128) fp32 logsumexp, lane-broadcast (TPU tiling)
     *,
     scale: float,
     causal: bool,
@@ -110,6 +111,7 @@ def _resident_kernel(
     m, l, acc = jax.lax.fori_loop(0, hi, body, (m0, l0, a0))
     l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> zeros
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log(l), lse_ref.shape[2:])
 
 
 # --------------------------------------------------------------------------
@@ -117,7 +119,7 @@ def _resident_kernel(
 # --------------------------------------------------------------------------
 
 def _grid_kernel(
-    q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref,
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *,
     scale: float,
@@ -180,6 +182,7 @@ def _grid_kernel(
         l = l_scr[:, :1]
         l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
+        lse_ref[0, 0] = jnp.broadcast_to(m_scr[:, :1] + jnp.log(l), lse_ref.shape[2:])
 
 
 # --------------------------------------------------------------------------
@@ -200,7 +203,10 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
     resident = skv * d * 2 * k.dtype.itemsize <= _RESIDENT_KV_BYTES
 
     common = dict(
-        out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, sq, 128), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * sq * skv * d,
             bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
@@ -229,13 +235,18 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
                 pl.BlockSpec((1, skv), lambda ib, ih, iq: (ib, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q, 128), lambda ib, ih, iq: (ib, ih, iq, 0),
+                             memory_space=pltpu.VMEM),
+            ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel"),
             ),
             **common,
         )(qt, kt, vt, q_seg, kv_seg)
+        out, lse = out
     else:
         nkv = pl.cdiv(skv, block_kv)
         out = pl.pallas_call(
@@ -259,9 +270,14 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
                 pl.BlockSpec((1, block_kv), lambda ib, ih, iq, ikv: (ib, ikv),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, block_q, d),
-                                   lambda ib, ih, iq, ikv: (ib, ih, iq, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda ib, ih, iq, ikv: (ib, ih, iq, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q, 128),
+                             lambda ib, ih, iq, ikv: (ib, ih, iq, 0),
+                             memory_space=pltpu.VMEM),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, 128), jnp.float32),
@@ -272,14 +288,16 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
             ),
             **common,
         )(qt, kt, vt, q_seg, kv_seg)
-    return out.transpose(0, 2, 1, 3)
+        out, lse = out
+    return out.transpose(0, 2, 1, 3), lse, resident
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _flash_attention_core(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
                           has_segments, interpret=False):
-    return _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
-                      has_segments, interpret)
+    out, _, _ = _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
+                           has_segments, interpret)
+    return out
 
 
 def _xla_reference(q, k, v, q_seg, kv_seg, causal, scale):
@@ -293,13 +311,28 @@ def _xla_reference(q, k, v, q_seg, kv_seg, causal, scale):
 
 def _core_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
               has_segments, interpret=False):
-    out = _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
-                     has_segments, interpret)
-    return out, (q, k, v, q_seg, kv_seg)
+    out, lse, resident = _flash_fwd(
+        q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
+        has_segments, interpret,
+    )
+    return out, (q, k, v, out, lse, q_seg, kv_seg, resident)
 
 
 def _core_bwd(causal, scale, block_q, block_kv, has_segments, interpret, res, g):
-    q, k, v, q_seg, kv_seg = res
+    q, k, v, o, lse, q_seg, kv_seg, resident = res
+    b, sq, hq, d = q.shape
+    skv = k.shape[1]
+    if resident and sq % block_q == 0 and skv % block_kv == 0:
+        from gpt_image_edit_tpu.ops.pallas.flash_attention_bwd import (
+            flash_attention_bwd,
+        )
+
+        dq, dk, dv = flash_attention_bwd(
+            q, k, v, o, g, lse, q_seg, kv_seg,
+            causal=causal, scale=scale, block_q=block_q, block_kv=block_kv,
+            has_segments=has_segments, interpret=interpret,
+        )
+        return dq, dk, dv, None, None
     _, vjp = jax.vjp(
         lambda q_, k_, v_: _xla_reference(q_, k_, v_, q_seg, kv_seg, causal, scale),
         q, k, v,

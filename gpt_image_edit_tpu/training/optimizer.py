@@ -144,6 +144,15 @@ def build_optimizer(params, train_cfg: TrainingConfig, model_cfg: ModelConfig,
         )
     elif train_cfg.optimizer == "adafactor":
         inner = optax.adafactor(learning_rate=lr_schedule(train_cfg))
+    elif train_cfg.optimizer == "prodigy":
+        from gpt_image_edit_tpu.training.prodigy import prodigy
+
+        inner = prodigy(
+            learning_rate=train_cfg.learning_rate,
+            betas=(train_cfg.adam_beta1, train_cfg.adam_beta2),
+            eps=train_cfg.adam_epsilon,
+            weight_decay=train_cfg.adam_weight_decay,
+        )
     else:
         raise ValueError(f"unknown optimizer {train_cfg.optimizer}")
 

@@ -57,19 +57,42 @@ class TestFlashAttention:
             causal=True,
         )
 
-    def test_gradients_flow(self):
-        b, s, h, d = 1, 128, 2, 64
+    @pytest.mark.parametrize(
+        "case",
+        ["full", "causal", "gqa", "segments"],
+    )
+    def test_gradients_match_xla(self, case):
+        """Pallas bwd kernels (dq/dkv) vs XLA autodiff."""
+        b, s, h, d = 1, 256, 4, 64
+        hkv = 2 if case == "gqa" else h
+        causal = case == "causal"
+        kw = {}
+        if case == "segments":
+            seg = jnp.asarray(np.repeat(np.arange(2), 128)[None])
+            kw = dict(q_segment_ids=seg, kv_segment_ids=seg)
+
+        q = _rand((b, s, h, d), 0)
+        k = _rand((b, s, hkv, d), 1)
+        v = _rand((b, s, hkv, d), 2)
+        # weighted sum so cotangents aren't uniform
+        w = _rand((b, s, h, d), 3)
 
         def f(q, k, v):
-            return flash_attention(
-                q, k, v, interpret=True, block_q=128, block_kv=128
-            ).sum()
+            return jnp.sum(
+                w * flash_attention(
+                    q, k, v, causal=causal, interpret=True,
+                    block_q=128, block_kv=128, **kw,
+                )
+            )
 
         def f_ref(q, k, v):
-            return dot_product_attention(q, k, v, impl="xla").sum()
+            return jnp.sum(
+                w * dot_product_attention(q, k, v, causal=causal, impl="xla", **kw)
+            )
 
-        args = (_rand((b, s, h, d), 0), _rand((b, s, h, d), 1), _rand((b, s, h, d), 2))
-        g_ours = jax.grad(f, argnums=(0, 1, 2))(*args)
-        g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(*args)
-        for a, b_ in zip(g_ours, g_ref):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3)
+        g_ours = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b_ in zip("q k v".split(), g_ours, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=3e-3, err_msg=f"d{name} ({case})"
+            )
