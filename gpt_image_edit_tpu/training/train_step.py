@@ -66,6 +66,36 @@ def sample_sigmas(rng, bsz: int, latent_hw: int, *, logit_std: float = 1.0):
     return (sigmas * shift) / (1.0 + (shift - 1.0) * sigmas)
 
 
+def sample_sigmas_discrete(
+    rng,
+    bsz: int,
+    *,
+    weighting_scheme: str = "logit_normal",
+    logit_mean: float = 0.0,
+    logit_std: float = 1.0,
+    mode_scale: float = 1.29,
+    num_train_timesteps: int = 1000,
+):
+    """discrete_timestep=true path: density-based timestep sampling over the
+    scheduler's table (diffusers compute_density_for_timestep_sampling;
+    ref:train_denoiser.py:939-958). Sigma table = linspace(1, 1/N, N)."""
+    if weighting_scheme == "logit_normal":
+        u = jax.nn.sigmoid(
+            jax.random.normal(rng, (bsz,)) * logit_std + logit_mean
+        )
+    elif weighting_scheme == "mode":
+        u = jax.random.uniform(rng, (bsz,))
+        u = 1.0 - u - mode_scale * (jnp.cos(jnp.pi * u / 2.0) ** 2 - 1.0 + u)
+    else:
+        u = jax.random.uniform(rng, (bsz,))
+    idx = (u * num_train_timesteps).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, num_train_timesteps - 1)
+    sigmas_table = jnp.linspace(
+        1.0, 1.0 / num_train_timesteps, num_train_timesteps, dtype=jnp.float32
+    )
+    return sigmas_table[idx]
+
+
 def loss_weighting(scheme: str, sigmas: jnp.ndarray) -> jnp.ndarray:
     """compute_loss_weighting_for_sd3 equivalents (diffusers training utils)."""
     if scheme == "sigma_sqrt":
@@ -88,6 +118,9 @@ def flow_matching_loss(
     guidance_scale: float = 1.0,
     weighting_scheme: str = "none",
     sigmas_as_weight: bool = False,
+    discrete_timestep: bool = False,
+    logit_mean: float = 0.0,
+    logit_std: float = 1.0,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """One forward pass -> scalar loss. `params` = {'qwen': ..., 'flux': ...}.
@@ -141,7 +174,13 @@ def flow_matching_loss(
         )
 
     # --- flow matching: x_s = (1-s) x0 + s eps, target v = eps - x0
-    sigmas = sample_sigmas(r_sigma, b, lh * lw)
+    if discrete_timestep:
+        sigmas = sample_sigmas_discrete(
+            r_sigma, b, weighting_scheme=weighting_scheme or "logit_normal",
+            logit_mean=logit_mean, logit_std=logit_std,
+        )
+    else:
+        sigmas = sample_sigmas(r_sigma, b, lh * lw, logit_std=logit_std)
     noise = jax.random.normal(r_noise, x0p.shape, dtype=jnp.float32)
     s_ = sigmas[:, None, None]
     noisy = (1.0 - s_) * x0p + s_ * noise
@@ -203,6 +242,9 @@ def make_train_step(
     guidance_scale: float = 1.0,
     weighting_scheme: str = "none",
     sigmas_as_weight: bool = False,
+    discrete_timestep: bool = False,
+    logit_mean: float = 0.0,
+    logit_std: float = 1.0,
     compute_dtype=jnp.bfloat16,
     donate: bool = True,
 ):
@@ -225,6 +267,9 @@ def make_train_step(
             guidance_scale=guidance_scale,
             weighting_scheme=weighting_scheme,
             sigmas_as_weight=sigmas_as_weight,
+            discrete_timestep=discrete_timestep,
+            logit_mean=logit_mean,
+            logit_std=logit_std,
             compute_dtype=compute_dtype,
         )
 

@@ -95,6 +95,86 @@ def data_iterator(cfg: TrainDenoiseConfig, qcfg, vcfg=None) -> Iterator[Dict[str
         i += 1
 
 
+def _run_validation_probes(cfg, state, frozen, vae_params, qcfg, fcfg, vcfg, step):
+    """Periodic probe-image generation (ref:train_denoiser.py:1243-1352).
+    Probes come from `dataset_config.validation_*_prompt/path` pairs when
+    configured; in random_data/tiny mode a synthetic probe is used."""
+    from PIL import Image
+
+    from gpt_image_edit_tpu.data import constants as C
+    from gpt_image_edit_tpu.data.image_processing import preprocess_vit_patches
+    from gpt_image_edit_tpu.data.tokenizer import load_tokenizer
+    from gpt_image_edit_tpu.models.qwen2p5vl import apply_qwen, vision
+    from gpt_image_edit_tpu.models.qwen2p5vl.rope_index import get_rope_index
+    from gpt_image_edit_tpu.training.validation import ValidationProbe, run_validation
+
+    dc = cfg.dataset_config
+    tok = load_tokenizer(
+        "fake" if (dc.random_data or cfg.model_config.tiny)
+        else cfg.model_config.pretrained_lvlm_name_or_path
+    )
+
+    probes = [ValidationProbe(name="synthetic", prompt="make the sky dramatic")]
+
+    def encode_prompt_fn(params, prompt, image):
+        value = ("<image>" if image is not None else "") + prompt
+        text = (
+            f"<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+            f"<|im_start|>user\n{value}<|im_end|>\n<|im_start|>assistant\n"
+            + C.SPECIAL_TOKENS["image_begin_token"]
+        )
+        patches = grids = None
+        if image is not None:
+            flat, grid = preprocess_vit_patches(
+                image,
+                patch_size=qcfg.vision.patch_size,
+                merge_size=qcfg.vision.spatial_merge_size,
+                min_pixels=dc.min_pixels, max_pixels=dc.max_pixels,
+            )
+            n = int(np.prod(grid)) // qcfg.vision.merge_unit
+            text = text.replace(
+                "<image>",
+                C.SPECIAL_TOKENS["image_begin_token"]
+                + C.SPECIAL_TOKENS["image_token"] * n
+                + C.SPECIAL_TOKENS["image_end_token"],
+                1,
+            )
+            patches, grids = flat, np.asarray([grid], np.int64)
+        ids = np.asarray([tok.encode(text)], np.int64)
+        attn = np.ones_like(ids)
+        pos, _ = get_rope_index(
+            ids, grids, attn,
+            spatial_merge_size=qcfg.vision.spatial_merge_size,
+            image_token_id=qcfg.image_token_id,
+            video_token_id=qcfg.video_token_id,
+            vision_start_token_id=qcfg.vision_start_token_id,
+        )
+        kwargs = {}
+        if patches is not None:
+            kwargs = dict(
+                pixel_patches=jnp.asarray(patches),
+                vision_aux=vision.vision_precompute(grids, qcfg.vision),
+            )
+        embeds = apply_qwen(
+            params["qwen"], qcfg,
+            input_ids=jnp.asarray(ids), position_ids=jnp.asarray(pos),
+            attention_mask=jnp.asarray(attn), output_type="denoise_embeds",
+            **kwargs,
+        )
+        pooled = jnp.zeros((1, fcfg.pooled_projection_dim), embeds.dtype)
+        return embeds, pooled
+
+    size = 8 * vcfg.downscale if vcfg.downscale != 8 else 512
+    run_validation(
+        state=state, frozen=frozen, vae_params=vae_params,
+        qwen_cfg=qcfg, flux_cfg=fcfg, vae_cfg=vcfg,
+        encode_prompt_fn=encode_prompt_fn, probes=probes,
+        output_dir=cfg.training_config.output_dir, step=step,
+        height=size, width=size,
+        num_steps=4 if cfg.model_config.tiny else 28,
+    )
+
+
 def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str, Any]:
     tc = cfg.training_config
     mc = cfg.model_config
@@ -129,6 +209,9 @@ def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str,
         guidance_scale=mc.guidance_scale,
         weighting_scheme=tc.weighting_scheme,
         sigmas_as_weight=tc.sigmas_as_weight,
+        discrete_timestep=tc.discrete_timestep,
+        logit_mean=tc.logit_mean,
+        logit_std=tc.logit_std,
         compute_dtype=compute_dtype,
     )
 
@@ -173,6 +256,14 @@ def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str,
 
             if (step + 1) % tc.checkpointing_steps == 0:
                 ckpt.save(manager, step + 1, {"state": state, "ema": ema})
+
+            if tc.validation_steps and (step + 1) % tc.validation_steps == 0:
+                try:
+                    _run_validation_probes(
+                        cfg, state, frozen, vae_params, qcfg, fcfg, vcfg, step + 1
+                    )
+                except Exception as e:  # validation must never kill training
+                    log.warning("validation failed at step %d: %s", step + 1, e)
 
     if tc.profile_out_dir:
         jax.profiler.stop_trace()
