@@ -40,7 +40,12 @@ def linear_init(
 
 
 def linear(p: Params, x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
-    y = jnp.dot(x, p["kernel"].astype(x.dtype), precision=precision)
+    kernel = p["kernel"]
+    if isinstance(kernel, dict):  # int8 weight-only quantized (utils.quantize)
+        kernel = (kernel["q"].astype(jnp.float32) * kernel["scale"]).astype(x.dtype)
+    else:
+        kernel = kernel.astype(x.dtype)
+    y = jnp.dot(x, kernel, precision=precision)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y

@@ -37,13 +37,18 @@ def build_parser():
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--understand", action="store_true", help="text answer instead of edit")
+    p.add_argument("--quantize", type=str, default=None, choices=[None, "int8"],
+                   help="weight-only quantization for the denoiser (fits 12B FLUX on one 16GB chip)")
     return p
 
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     args = build_parser().parse_args(argv)
-    rt = UnivaRuntime(args.model_path, args.flux_path, tiny=args.tiny, seed=args.seed)
+    rt = UnivaRuntime(
+        args.model_path, args.flux_path, tiny=args.tiny, seed=args.seed,
+        quantize=args.quantize,
+    )
     image = Image.open(args.image) if args.image else None
 
     if args.prompt is not None:  # one-shot

@@ -59,6 +59,7 @@ class UnivaRuntime:
         *,
         tiny: bool = False,
         seed: int = 0,
+        quantize: Optional[str] = None,  # "int8" weight-only (the NF4 analogue)
     ):
         self.prompter = Qwen2VLPrompter()
         self.history_images: List[Image.Image] = []
@@ -88,6 +89,14 @@ class UnivaRuntime:
             vae_dir = flux_path or model_path
             vae_params = convert_vae(TensorSource.from_dir(f"{vae_dir}/vae"), self.vcfg)
             self.tokenizer = load_tokenizer(model_path)
+
+        if quantize == "int8":
+            from gpt_image_edit_tpu.utils.quantize import quantize_params
+
+            log.info("quantizing FLUX weights to int8 (weight-only)")
+            flux_params = quantize_params(flux_params)
+        elif quantize:
+            raise ValueError(f"unknown quantize mode {quantize!r} (use 'int8')")
 
         self.pipe = KontextPipeline(flux_params, self.fcfg, vae_params, self.vcfg)
         self.rng = jax.random.key(seed)

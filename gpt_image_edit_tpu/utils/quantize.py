@@ -1,0 +1,75 @@
+"""Weight-only int8 quantization (the reference's NF4 serving option,
+ref:app.py:129-176, done the TPU way).
+
+Per-output-channel symmetric int8: kernel (in, out) -> {q: int8 (in, out),
+scale: fp32 (out,)}. models.common.linear dequantizes at use — under the
+stacked-layer lax.scan only ONE block's weights are ever dequantized at a
+time, so the full-depth 12B FLUX fits a single 16GB v5e chip
+(11.8GB int8 + ~0.7GB transient bf16 block).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_kernel(kernel: jnp.ndarray) -> dict:
+    """(..., in, out) fp kernel -> {'q': int8, 'scale': fp32 (..., 1, out)}."""
+    kf = kernel.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(kf), axis=-2, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(kf / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale}
+
+
+def dequantize_kernel(qk: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (qk["q"].astype(jnp.float32) * qk["scale"]).astype(dtype)
+
+
+def quantize_params(
+    params: Any,
+    *,
+    min_size: int = 1 << 20,
+    path_filter: Optional[Callable[[str], bool]] = None,
+) -> Any:
+    """Quantize every 'kernel' leaf bigger than min_size elements. The tree
+    keeps its structure; linear() transparently handles quantized kernels."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for kp, leaf in flat:
+        path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        if (
+            path.endswith("kernel")
+            and hasattr(leaf, "ndim")
+            and leaf.ndim >= 2
+            and leaf.size >= min_size
+            and (path_filter is None or path_filter(path))
+        ):
+            out.append(quantize_kernel(leaf))
+        else:
+            out.append(leaf)
+    # rebuild manually from key paths (a quantized leaf becomes a subtree)
+    by_path = {}
+    for (kp, leaf), o in zip(flat, out):
+        path = tuple(getattr(k, "key", getattr(k, "idx", k)) for k in kp)
+        by_path[path] = o
+
+    def _build(node, prefix=()):
+        if isinstance(node, dict):
+            return {k: _build(v, prefix + (k,)) for k, v in node.items()}
+        if isinstance(node, list):
+            return [_build(v, prefix + (i,)) for i, v in enumerate(node)]
+        return by_path[prefix]
+
+    return _build(params)
+
+
+def params_nbytes(params) -> int:
+    return sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree_util.tree_leaves(params)
+        if hasattr(x, "size")
+    )
