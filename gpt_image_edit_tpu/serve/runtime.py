@@ -202,6 +202,50 @@ class UnivaRuntime:
         return Image.fromarray(arr)
 
     # ------------------------------------------------------------------
+    def load_text_encoders(self, flux_ckpt_dir: str):
+        """Load T5-XXL + CLIP-L from a FLUX checkpoint dir for the
+        only_use_t5 ablation / CLIP pooled embeds (ref:train_denoiser.py:408-426)."""
+        from gpt_image_edit_tpu.utils.prompt_embeds import FluxTextEncoders
+
+        self.text_encoders = FluxTextEncoders(flux_ckpt_dir)
+        return self.text_encoders
+
+    def edit_t5_only(
+        self,
+        instruction: str,
+        image: Optional[Image.Image] = None,
+        *,
+        steps: int = 28,
+        guidance: float = 3.5,
+        max_sequence_length: int = 512,
+        seed: Optional[int] = None,
+    ) -> Image.Image:
+        """T5-only conditioning, bypassing the VLM (the reference's
+        step1_gen_samples_T5_only ablation, ref:univa/eval/imgedit/)."""
+        assert getattr(self, "text_encoders", None) is not None, (
+            "call load_text_encoders(flux_ckpt_dir) first"
+        )
+        embeds, pooled = self.text_encoders.encode_prompt(
+            [instruction], max_sequence_length
+        )
+        height, width = update_size(image)
+        cond = None
+        if image is not None:
+            bw, bh = pick_kontext_resolution(image.width, image.height)
+            cond = jnp.asarray(preprocess_vae_image(image, bh, bw))[None]
+        rng = jax.random.key(seed) if seed is not None else self.rng
+        self.rng, sample_rng = jax.random.split(rng)
+        out = self.pipe(
+            prompt_embeds=embeds.astype(jnp.bfloat16),
+            pooled_prompt_embeds=pooled.astype(jnp.bfloat16),
+            image=cond,
+            height=height, width=width,
+            num_inference_steps=steps, guidance_scale=guidance,
+            rng=sample_rng,
+        )
+        return Image.fromarray(postprocess_to_uint8(out)[0])
+
+    # ------------------------------------------------------------------
     def answer(
         self,
         question: str,
