@@ -42,8 +42,8 @@ def _resident_kernel(
     q_ref,     # (1, 1, bq, d)
     k_ref,     # (1, 1, skv, d)
     v_ref,     # (1, 1, skv, d)
-    qseg_ref,  # (1, bq)
-    kseg_ref,  # (1, skv)
+    qseg_ref,  # (1, 1, bq)
+    kseg_ref,  # (1, 1, skv)
     o_ref,     # (1, 1, bq, d)
     lse_ref,   # (1, 1, bq, 128) fp32 logsumexp, lane-broadcast (TPU tiling)
     *,
@@ -64,7 +64,7 @@ def _resident_kernel(
     else:
         hi = nkv
 
-    qseg = qseg_ref[0, :] if has_segments else None
+    qseg = qseg_ref[0, 0, :] if has_segments else None
 
     def body(i, carry):
         m, l, acc = carry
@@ -76,7 +76,7 @@ def _resident_kernel(
 
         keep = None
         if has_segments:
-            kseg = kseg_ref[0, pl.ds(i * block_kv, block_kv)]
+            kseg = kseg_ref[0, 0, pl.ds(i * block_kv, block_kv)]
             keep = qseg[:, None] == kseg[None, :]
         if causal:
             rows = (
@@ -153,7 +153,7 @@ def _grid_kernel(
 
         keep = None
         if has_segments:
-            keep = qseg_ref[0, :][:, None] == kseg_ref[0, :][None, :]
+            keep = qseg_ref[0, 0, :][:, None] == kseg_ref[0, 0, :][None, :]
         if causal:
             rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0) + iq * block_q
             cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + ikv * block_kv
@@ -198,6 +198,9 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
+    # (b, 1, len) so segment blocks satisfy TPU tiling at any batch size
+    q_seg = q_seg.reshape(b, 1, sq)
+    kv_seg = kv_seg.reshape(b, 1, skv)
     nq = pl.cdiv(sq, block_q)
 
     resident = skv * d * 2 * k.dtype.itemsize <= _RESIDENT_KV_BYTES
@@ -230,9 +233,9 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, skv, d), lambda ib, ih, iq, g=group: (ib, ih // g, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q), lambda ib, ih, iq: (ib, iq),
+                pl.BlockSpec((1, 1, block_q), lambda ib, ih, iq: (ib, 0, iq),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, skv), lambda ib, ih, iq: (ib, 0),
+                pl.BlockSpec((1, 1, skv), lambda ib, ih, iq: (ib, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -265,9 +268,9 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
                 pl.BlockSpec((1, 1, block_kv, d),
                              lambda ib, ih, iq, ikv, g=group: (ib, ih // g, ikv, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q), lambda ib, ih, iq, ikv: (ib, iq),
+                pl.BlockSpec((1, 1, block_q), lambda ib, ih, iq, ikv: (ib, 0, iq),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_kv), lambda ib, ih, iq, ikv: (ib, ikv),
+                pl.BlockSpec((1, 1, block_kv), lambda ib, ih, iq, ikv: (ib, 0, ikv),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[

@@ -42,7 +42,7 @@ def _dq_kernel(
         jnp.minimum((iq * block_q + block_q + block_kv - 1) // block_kv, nkv)
         if causal else nkv
     )
-    qseg = qseg_ref[0, :] if has_segments else None
+    qseg = qseg_ref[0, 0, :] if has_segments else None
 
     def body(i, dq):
         k = k_ref[0, 0, pl.ds(i * block_kv, block_kv), :]
@@ -53,7 +53,7 @@ def _dq_kernel(
         p = jnp.exp(s - lse)
         keep = None
         if has_segments:
-            kseg = kseg_ref[0, pl.ds(i * block_kv, block_kv)]
+            kseg = kseg_ref[0, 0, pl.ds(i * block_kv, block_kv)]
             keep = qseg[:, None] == kseg[None, :]
         if causal:
             rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0) + iq * block_q
@@ -111,8 +111,8 @@ def _dkv_kernel(
         p = jnp.exp(s - lse)             # (bq, bkv)
         keep = None
         if has_segments:
-            qseg = qseg_ref[0, :]
-            kseg = kseg_ref[0, :]
+            qseg = qseg_ref[0, 0, :]
+            kseg = kseg_ref[0, 0, :]
             keep = qseg[:, None] == kseg[None, :]
         if causal:
             rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0) + iq * block_q
@@ -158,6 +158,8 @@ def flash_attention_bwd(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
     ).transpose(0, 2, 1)  # (B, Hq, Sq)
     delta = jnp.broadcast_to(delta[..., None], delta.shape + (128,))
+    q_seg = q_seg.reshape(b, 1, sq)
+    kv_seg = kv_seg.reshape(b, 1, skv)
 
     nq = sq // block_q
     nkv = skv // block_kv
@@ -183,9 +185,9 @@ def flash_attention_bwd(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, 128), lambda ib, ih, iq: (ib, ih, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda ib, ih, iq: (ib, iq),
+            pl.BlockSpec((1, 1, block_q), lambda ib, ih, iq: (ib, 0, iq),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv), lambda ib, ih, iq: (ib, 0),
+            pl.BlockSpec((1, 1, skv), lambda ib, ih, iq: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0),
@@ -222,9 +224,9 @@ def flash_attention_bwd(
             pl.BlockSpec((1, 1, block_q, 128),
                          lambda ib, ih, ikv, iq: (ib, ih, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda ib, ih, ikv, iq: (ib, iq),
+            pl.BlockSpec((1, 1, block_q), lambda ib, ih, ikv, iq: (ib, 0, iq),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv), lambda ib, ih, ikv, iq: (ib, ikv),
+            pl.BlockSpec((1, 1, block_kv), lambda ib, ih, ikv, iq: (ib, 0, ikv),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

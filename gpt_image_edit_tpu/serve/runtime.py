@@ -98,6 +98,18 @@ class UnivaRuntime:
         elif quantize:
             raise ValueError(f"unknown quantize mode {quantize!r} (use 'int8')")
 
+        # generate-vs-understand routing head (ref:cli.py:42-49), if shipped
+        self.task_head = None
+        if model_path:
+            import os
+
+            th_path = os.path.join(model_path, "task_head_final.pt")
+            if os.path.exists(th_path):
+                from gpt_image_edit_tpu.serve.task_head import load_task_head
+
+                self.task_head = load_task_head(th_path)
+                log.info("loaded task head from %s", th_path)
+
         self.pipe = KontextPipeline(flux_params, self.fcfg, vae_params, self.vcfg)
         self.rng = jax.random.key(seed)
 
@@ -200,6 +212,66 @@ class UnivaRuntime:
         )
         arr = postprocess_to_uint8(out)[0]
         return Image.fromarray(arr)
+
+    # ------------------------------------------------------------------
+    def route(self, message: str, image: Optional[Image.Image] = None) -> bool:
+        """Task-head routing: True = IMAGE branch (ref:cli.py:199-207).
+        Falls back to 'image present => edit' without a head."""
+        if self.task_head is None:
+            return image is not None
+        from gpt_image_edit_tpu.serve.task_head import route as _route
+
+        value = ("<image>" if image is not None else "") + message
+        conversation = [{"from": "user", "value": value}]
+        # reuse the prompt encoder but take LM hidden states
+        prompt = self.prompter(conversation, add_generation_prompt=True)
+        images = [image] if image is not None else []
+        patches, grids = [], []
+        for img in images:
+            flat, grid = preprocess_vit_patches(
+                img,
+                patch_size=self.qcfg.vision.patch_size,
+                merge_size=self.qcfg.vision.spatial_merge_size,
+                min_pixels=200704 if self.qcfg.vision.patch_size == 14 else 3136,
+                max_pixels=200704 if self.qcfg.vision.patch_size == 14 else 3136,
+            )
+            patches.append(flat)
+            grids.append(grid)
+            n = int(np.prod(grid)) // self.qcfg.vision.merge_unit
+            prompt = prompt.replace(
+                "<image>",
+                C.SPECIAL_TOKENS["image_begin_token"]
+                + C.SPECIAL_TOKENS["image_token"] * n
+                + C.SPECIAL_TOKENS["image_end_token"],
+                1,
+            )
+        input_ids = np.asarray([self.tokenizer.encode(prompt)], dtype=np.int64)
+        attn = np.ones_like(input_ids)
+        grid_thw = np.asarray(grids, dtype=np.int64) if grids else None
+        pos, _ = get_rope_index(
+            input_ids, grid_thw, attn,
+            spatial_merge_size=self.qcfg.vision.spatial_merge_size,
+            image_token_id=self.qcfg.image_token_id,
+            video_token_id=self.qcfg.video_token_id,
+            vision_start_token_id=self.qcfg.vision_start_token_id,
+        )
+        kwargs = dict(
+            input_ids=jnp.asarray(input_ids),
+            position_ids=jnp.asarray(pos),
+            attention_mask=jnp.asarray(attn),
+        )
+        if patches:
+            kwargs["pixel_patches"] = jnp.asarray(np.concatenate(patches, 0))
+            kwargs["vision_aux"] = vision.vision_precompute(grid_thw, self.qcfg.vision)
+        hidden = apply_qwen(self.qwen_params, self.qcfg, output_type="hidden", **kwargs)
+        return bool(_route(self.task_head, hidden, input_ids)[0])
+
+    def chat(self, message: str, image: Optional[Image.Image] = None, **kw):
+        """One chat turn with automatic routing: returns (PIL image, None) or
+        (None, text answer) — the reference REPL's behavior."""
+        if self.route(message, image):
+            return self.edit(message, image, **kw), None
+        return None, self.answer(message, image)
 
     # ------------------------------------------------------------------
     def load_text_encoders(self, flux_ckpt_dir: str):
