@@ -26,14 +26,7 @@ def register_denoiser(name):
 
 
 from gpt_image_edit_tpu.models import flux as _flux  # noqa: E402
+from gpt_image_edit_tpu.models import sd3_model as _sd3  # noqa: E402
 
 DENOISER_TYPE["flux"] = _flux
-
-
-@register_denoiser("sd3")
-class SD3Denoiser:
-    def __init__(self, *a, **k):
-        raise NotImplementedError(
-            "denoiser_type='sd3' is an extension point (unused by all shipped "
-            "reference configs); use denoiser_type='flux'."
-        )
+DENOISER_TYPE["sd3"] = _sd3
