@@ -74,6 +74,7 @@ def apply(
     vision_aux: Optional[VisionAux] = None,
     image_embeds: Optional[jnp.ndarray] = None,    # precomputed alternative
     output_type: str = "lvlm",
+    vlm_residual_image_factor: float = 0.0,
 ) -> jnp.ndarray:
     """Returns logits (lvlm) or projected prompt embeds (denoise_embeds)."""
     embeds = language.embed(params["lm"], input_ids)
@@ -83,6 +84,7 @@ def apply(
         image_embeds = vision.apply(
             params["visual"], cfg.vision, pixel_patches.astype(embeds.dtype), vision_aux
         )
+    mask = None
     if image_embeds is not None:
         mask = input_ids == cfg.image_token_id
         embeds = scatter_image_embeds(embeds, image_embeds, mask)
@@ -96,6 +98,23 @@ def apply(
     if output_type == "hidden":
         return hidden
     if output_type == "denoise_embeds":
+        # optional raw-ViT blending into the LM outputs at image positions
+        # (ref :504-519: vlm_residual_image_factor + shortcut_image_embeds,
+        # both default-off in all shipped configs)
+        if mask is not None and vlm_residual_image_factor > 0.0:
+            blended = scatter_image_embeds(hidden, image_embeds, mask)
+            hidden = jnp.where(
+                mask[..., None],
+                hidden * (1.0 - vlm_residual_image_factor)
+                + blended * vlm_residual_image_factor,
+                hidden,
+            )
+        if mask is not None and cfg.shortcut_image_embeds:
+            s = cfg.shortcut_image_embeds_scale
+            blended = scatter_image_embeds(hidden, image_embeds, mask)
+            hidden = jnp.where(
+                mask[..., None], s * blended + (1.0 - s) * hidden, hidden
+            )
         return denoise_projector(params["projector"], hidden)
     raise ValueError(f"unknown output_type: {output_type}")
 

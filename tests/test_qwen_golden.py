@@ -238,6 +238,42 @@ class TestFullModel:
         )
         assert ours == ref_new[: len(ours)] and len(ours) >= 6, (ours, ref_new)
 
+    def test_shortcut_and_residual_blending(self, our_setup):
+        """shortcut_image_embeds / vlm_residual_image_factor change only the
+        image-token rows of the denoise embeds (ref :504-519)."""
+        import dataclasses
+
+        cfg, params = our_setup
+        params = dict(params)
+        params["projector"] = init_qwen(jax.random.key(0), cfg)["projector"]
+        input_ids, grid_thw, px = self._build_inputs(cfg)
+        pos_ids, _ = get_rope_index(
+            input_ids, grid_thw, np.ones_like(input_ids),
+            spatial_merge_size=cfg.vision.spatial_merge_size,
+            image_token_id=IMAGE_TOKEN, video_token_id=VIDEO_TOKEN,
+            vision_start_token_id=VISION_START,
+        )
+        aux = vision_mod.vision_precompute(grid_thw, cfg.vision)
+        kw = dict(
+            input_ids=jnp.asarray(input_ids),
+            position_ids=jnp.asarray(pos_ids),
+            pixel_patches=jnp.asarray(px),
+            vision_aux=aux,
+            output_type="denoise_embeds",
+        )
+        base = np.asarray(apply_qwen(params, cfg, **kw))
+        resid = np.asarray(
+            apply_qwen(params, cfg, vlm_residual_image_factor=0.5, **kw)
+        )
+        cfg_sc = dataclasses.replace(cfg, shortcut_image_embeds=True)
+        short = np.asarray(apply_qwen(params, cfg_sc, **kw))
+        img_mask = input_ids[0] == IMAGE_TOKEN
+        for variant in (resid, short):
+            assert np.abs(variant[0, img_mask] - base[0, img_mask]).max() > 1e-5
+            np.testing.assert_allclose(
+                variant[0, ~img_mask], base[0, ~img_mask], atol=1e-6
+            )
+
     def test_denoise_embeds_shape(self, our_setup):
         cfg, params = our_setup
         # attach a random projector (merged ckpts carry it; HF one doesn't)
