@@ -1,0 +1,65 @@
+"""Parallel host-side data loading.
+
+The reference runs 16 torch DataLoader workers for PIL/cv2/tokenizer work
+(ref:train_denoiser.py:646-683 num_workers). Here a thread pool builds
+samples concurrently (the hot path is the C++ image-prep library + numpy,
+which release the GIL) and a bounded queue prefetches collated batches so
+the TPU step never waits on input prep."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+
+class BatchLoader:
+    def __init__(
+        self,
+        dataset,
+        collator: Callable,
+        *,
+        batch_size: int,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.collator = collator
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.seed = seed
+        self._stop = threading.Event()
+        self._queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        self._thread: Optional[threading.Thread] = None
+
+    def _producer(self):
+        rng = np.random.default_rng(self.seed)
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            while not self._stop.is_set():
+                idxs = [int(rng.integers(0, len(self.dataset))) for _ in range(self.batch_size)]
+                samples = list(pool.map(self.dataset.__getitem__, idxs))
+                batch = self.collator(samples)
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        finally:
+            pool.shutdown(wait=False)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._producer, daemon=True)
+            self._thread.start()
+        while True:
+            yield self._queue.get()
+
+    def stop(self):
+        self._stop.set()

@@ -87,12 +87,15 @@ def data_iterator(cfg: TrainDenoiseConfig, qcfg, vcfg=None) -> Iterator[Dict[str
         latent_downscale=vcfg.downscale if vcfg is not None else 8,
     )
     coll = Collator(qcfg.vision, padding_side=dc.padding_side)
-    order = np.random.default_rng(cfg.training_config.seed)
-    i = 0
-    while True:
-        idxs = [int(order.integers(0, len(ds))) for _ in range(dc.batch_size)]
-        yield coll([ds[j] for j in idxs])
-        i += 1
+    from gpt_image_edit_tpu.data.loader import BatchLoader
+
+    loader = BatchLoader(
+        ds, coll,
+        batch_size=dc.batch_size,
+        num_workers=dc.num_workers,
+        seed=cfg.training_config.seed,
+    )
+    yield from loader
 
 
 def _run_validation_probes(cfg, state, frozen, vae_params, qcfg, fcfg, vcfg, step):
