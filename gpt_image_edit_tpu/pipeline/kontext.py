@@ -128,7 +128,23 @@ class KontextPipeline:
     (ref:univa/utils/flux_pipeline.py:929-942).
     """
 
-    def __init__(self, flux_params, flux_cfg: FluxConfig, vae_params, vae_cfg: VaeConfig):
+    def __init__(
+        self,
+        flux_params,
+        flux_cfg: FluxConfig,
+        vae_params,
+        vae_cfg: VaeConfig,
+        mesh=None,
+    ):
+        """`mesh`: optional jax.sharding.Mesh — shards the denoiser/VAE params
+        over (fsdp, tensor) for multi-chip serving; XLA inserts the ICI
+        collectives (tensor-parallel inference)."""
+        if mesh is not None:
+            from gpt_image_edit_tpu.parallel import shard_params
+
+            flux_params = shard_params(flux_params, mesh)
+            vae_params = shard_params(vae_params, mesh)
+        self.mesh = mesh
         self.flux_params = flux_params
         self.flux_cfg = flux_cfg
         self.vae_params = vae_params

@@ -26,11 +26,28 @@ def save(manager: ocp.CheckpointManager, step: int, state: Any) -> None:
 
 
 def restore_latest(
-    manager: ocp.CheckpointManager, template: Any
+    manager: ocp.CheckpointManager, template: Any, mesh=None
 ) -> Optional[tuple]:
-    """Returns (step, state) or None if no checkpoint exists."""
+    """Returns (step, state) or None if no checkpoint exists.
+
+    With `mesh`, restored leaves are committed to mesh shardings (the
+    template's NamedSharding where present, replicated otherwise) — restored
+    arrays are device-committed, so mixing single-device restores with
+    mesh-sharded params would make jit refuse the state."""
     step = manager.latest_step()
     if step is None:
         return None
     state = manager.restore(step, args=ocp.args.StandardRestore(template))
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        replicated = NamedSharding(mesh, PartitionSpec())
+
+        def _place(restored, tmpl):
+            s = getattr(tmpl, "sharding", None)
+            target = s if isinstance(s, NamedSharding) else replicated
+            return jax.device_put(restored, target)
+
+        state = jax.tree_util.tree_map(_place, state, template)
     return step, state

@@ -198,7 +198,7 @@ def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str,
     manager = ckpt.make_manager(tc.output_dir, tc.checkpoints_total_limit)
     start_step = 0
     if tc.resume_from_checkpoint:
-        restored = ckpt.restore_latest(manager, {"state": state, "ema": ema})
+        restored = ckpt.restore_latest(manager, {"state": state, "ema": ema}, mesh=mesh)
         if restored is not None:
             start_step, blob = restored
             state, ema = blob["state"], blob["ema"]
