@@ -26,6 +26,16 @@ def log(*a):
 
 def main():
     import jax
+
+    # persistent compile cache: the 28-step scan compiles take ~6-8 min each;
+    # cached across runs/rounds this drops to seconds
+    import os
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from gpt_image_edit_tpu.models.flux import FluxConfig, init_flux

@@ -9,6 +9,7 @@ tokenizer downloads."""
 from __future__ import annotations
 
 import re
+import zlib
 from typing import List
 
 from gpt_image_edit_tpu.data import constants as C
@@ -41,11 +42,11 @@ class FakeTokenizer:
             else:
                 for tok in chunk.split(" "):
                     if tok:
-                        ids.append(hash(tok) % 150000 + 256)
+                        ids.append(zlib.crc32(tok.encode()) % 150000 + 256)
         return ids
 
     def convert_tokens_to_ids(self, tok: str) -> int:
-        return _SPECIAL.get(tok, hash(tok) % 150000 + 256)
+        return _SPECIAL.get(tok, zlib.crc32(tok.encode()) % 150000 + 256)
 
 
 def load_tokenizer(path_or_fake: str):

@@ -63,6 +63,7 @@ class UnivaRuntime:
     ):
         self.prompter = Qwen2VLPrompter()
         self.history_images: List[Image.Image] = []
+        # ViT view pixel budget (448^2 like ref:cli.py:33-34; tiny grids scale down)
 
         if tiny or not model_path:
             log.info("loading TINY random-weight models (demo mode)")
@@ -75,6 +76,7 @@ class UnivaRuntime:
             flux_params = init_flux(jax.random.key(1), self.fcfg)
             vae_params = init_vae(jax.random.key(2), self.vcfg)
             self.tokenizer = load_tokenizer("fake")
+            self.vit_pixels = 3136
         else:
             from gpt_image_edit_tpu.utils.ckpt_convert import (
                 TensorSource,
@@ -89,6 +91,7 @@ class UnivaRuntime:
             vae_dir = flux_path or model_path
             vae_params = convert_vae(TensorSource.from_dir(f"{vae_dir}/vae"), self.vcfg)
             self.tokenizer = load_tokenizer(model_path)
+            self.vit_pixels = 200704
 
         if quantize == "int8":
             from gpt_image_edit_tpu.utils.quantize import quantize_params
@@ -126,8 +129,8 @@ class UnivaRuntime:
                 patch_size=self.qcfg.vision.patch_size,
                 merge_size=self.qcfg.vision.spatial_merge_size,
                 temporal_patch_size=self.qcfg.vision.temporal_patch_size,
-                min_pixels=200704 if self.qcfg.vision.patch_size == 14 else 3136,
-                max_pixels=200704 if self.qcfg.vision.patch_size == 14 else 3136,
+                min_pixels=self.vit_pixels,
+                max_pixels=self.vit_pixels,
             )
             patches.append(flat)
             grids.append(grid)
@@ -232,8 +235,8 @@ class UnivaRuntime:
                 img,
                 patch_size=self.qcfg.vision.patch_size,
                 merge_size=self.qcfg.vision.spatial_merge_size,
-                min_pixels=200704 if self.qcfg.vision.patch_size == 14 else 3136,
-                max_pixels=200704 if self.qcfg.vision.patch_size == 14 else 3136,
+                min_pixels=self.vit_pixels,
+                max_pixels=self.vit_pixels,
             )
             patches.append(flat)
             grids.append(grid)
@@ -337,8 +340,8 @@ class UnivaRuntime:
                 img,
                 patch_size=self.qcfg.vision.patch_size,
                 merge_size=self.qcfg.vision.spatial_merge_size,
-                min_pixels=200704 if self.qcfg.vision.patch_size == 14 else 3136,
-                max_pixels=200704 if self.qcfg.vision.patch_size == 14 else 3136,
+                min_pixels=self.vit_pixels,
+                max_pixels=self.vit_pixels,
             )
             patches.append(flat)
             grids.append(grid)

@@ -53,12 +53,14 @@ def main():
 
     shard_bytes = int(args.shard_gb * (1 << 30))
     shards, sizes, weight_map = [{}], [0], {}
+    total_size = [0]
 
     def put(name, arr):
         if sizes[-1] + arr.nbytes > shard_bytes and shards[-1]:
             flush()
         shards[-1][name] = arr
         sizes[-1] += arr.nbytes
+        total_size[0] += arr.nbytes
 
     written = []
 
@@ -100,7 +102,7 @@ def main():
 
     flush()
     with open(os.path.join(args.output, "model.safetensors.index.json"), "w") as f:
-        json.dump({"metadata": {"total_size": sum(a.nbytes for s in shards for a in s.values())},
+        json.dump({"metadata": {"total_size": total_size[0]},
                    "weight_map": weight_map}, f)
 
     # carry tokenizer/processor files along (ref saves processor too)
