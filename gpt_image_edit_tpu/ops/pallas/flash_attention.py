@@ -53,6 +53,7 @@ def _resident_kernel(
     block_kv: int,
     skv: int,
     has_segments: bool,
+    need_lse: bool,
 ):
     iq = pl.program_id(2)
     q = q_ref[0, 0]
@@ -111,7 +112,8 @@ def _resident_kernel(
     m, l, acc = jax.lax.fori_loop(0, hi, body, (m0, l0, a0))
     l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> zeros
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log(l), lse_ref.shape[2:])
+    if need_lse:
+        lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log(l), lse_ref.shape[2:])
 
 
 # --------------------------------------------------------------------------
@@ -127,6 +129,7 @@ def _grid_kernel(
     block_q: int,
     block_kv: int,
     has_segments: bool,
+    need_lse: bool,
 ):
     iq = pl.program_id(2)
     ikv = pl.program_id(3)
@@ -182,7 +185,8 @@ def _grid_kernel(
         l = l_scr[:, :1]
         l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
-        lse_ref[0, 0] = jnp.broadcast_to(m_scr[:, :1] + jnp.log(l), lse_ref.shape[2:])
+        if need_lse:
+            lse_ref[0, 0] = jnp.broadcast_to(m_scr[:, :1] + jnp.log(l), lse_ref.shape[2:])
 
 
 # --------------------------------------------------------------------------
@@ -190,7 +194,7 @@ def _grid_kernel(
 # --------------------------------------------------------------------------
 
 def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
-               has_segments=True, interpret=False):
+               has_segments=True, interpret=False, need_lse=True):
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     group = hq // hkv
@@ -205,10 +209,13 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
 
     resident = skv * d * 2 * k.dtype.itemsize <= _RESIDENT_KV_BYTES
 
+    # lse is only needed as a residual for the backward kernels; at inference
+    # (primal path) a dummy 8-row buffer avoids a 107MB fp32 write per call
+    lse_rows = sq if need_lse else 8
     common = dict(
         out_shape=[
             jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, sq, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, lse_rows, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * sq * skv * d,
@@ -224,6 +231,7 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
                 _resident_kernel,
                 scale=scale, causal=causal, block_q=block_q,
                 block_kv=block_kv, skv=skv, has_segments=has_segments,
+                need_lse=need_lse,
             ),
             grid=(b, hq, nq),
             in_specs=[
@@ -241,8 +249,12 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
             out_specs=[
                 pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_q, 128), lambda ib, ih, iq: (ib, ih, iq, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 1, block_q if need_lse else 8, 128),
+                    (lambda ib, ih, iq: (ib, ih, iq, 0)) if need_lse
+                    else (lambda ib, ih, iq: (ib, ih, 0, 0)),
+                    memory_space=pltpu.VMEM,
+                ),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel"),
@@ -257,6 +269,7 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
                 _grid_kernel,
                 scale=scale, causal=causal, block_q=block_q,
                 block_kv=block_kv, has_segments=has_segments,
+                need_lse=need_lse,
             ),
             grid=(b, hq, nq, nkv),
             in_specs=[
@@ -277,9 +290,12 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
                 pl.BlockSpec((1, 1, block_q, d),
                              lambda ib, ih, iq, ikv: (ib, ih, iq, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_q, 128),
-                             lambda ib, ih, iq, ikv: (ib, ih, iq, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 1, block_q if need_lse else 8, 128),
+                    (lambda ib, ih, iq, ikv: (ib, ih, iq, 0)) if need_lse
+                    else (lambda ib, ih, iq, ikv: (ib, ih, 0, 0)),
+                    memory_space=pltpu.VMEM,
+                ),
             ],
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),
@@ -298,8 +314,9 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _flash_attention_core(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
                           has_segments, interpret=False):
+    # primal (non-differentiated) path: skip the LSE residual entirely
     out, _, _ = _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
-                           has_segments, interpret)
+                           has_segments, interpret, need_lse=False)
     return out
 
 
@@ -316,7 +333,7 @@ def _core_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
               has_segments, interpret=False):
     out, lse, resident = _flash_fwd(
         q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
-        has_segments, interpret,
+        has_segments, interpret, need_lse=True,
     )
     return out, (q, k, v, out, lse, q_seg, kv_seg, resident)
 
