@@ -128,47 +128,55 @@ def main():
         del params
 
     # Ground-truth cross-check: the TRUE full-depth (19+38) model fits one
-    # chip with int8 weight-only quantization (11.8GB); compute stays bf16.
+    # chip with int8 quantized weights (11.8GB). Two variants:
+    #   weight-only (bf16 compute) — validates the bf16 extrapolation;
+    #   W8A8 (int8 MXU matmuls)   — the fast serving mode (~22% faster).
     # Constructed shape-only (a bf16 tree first would OOM the chip).
+    def _full_depth_int8(qkey):
+        cfg = dataclasses.replace(FluxConfig(), num_layers=19, num_single_layers=38)
+        abstract = jax.eval_shape(
+            lambda key: init_flux(key, cfg, jnp.bfloat16), jax.random.key(0)
+        )
+        flat, _ = jax.tree_util.tree_flatten_with_path(abstract)
+        leaves = []
+        for kp, s in flat:
+            path = "/".join(str(getattr(k, "key", k)) for k in kp)
+            if path.endswith("kernel") and len(s.shape) >= 2 and np.prod(s.shape) >= 1 << 22:
+                leaves.append({
+                    qkey: jnp.ones(s.shape, jnp.int8),
+                    "scale": jnp.full(s.shape[:-2] + (1, s.shape[-1]), 0.01, jnp.float32),
+                })
+            else:
+                leaves.append(jnp.full(s.shape, 0.01, s.dtype))
+        by_path = {
+            tuple(getattr(k, "key", getattr(k, "idx", k)) for k in kp): leaf
+            for (kp, _), leaf in zip(flat, leaves)
+        }
+
+        def _build_tree(node, prefix=()):
+            if isinstance(node, dict):
+                return {kk: _build_tree(vv, prefix + (kk,)) for kk, vv in node.items()}
+            if isinstance(node, list):
+                return [_build_tree(vv, prefix + (i,)) for i, vv in enumerate(node)]
+            return by_path[prefix]
+
+        params = _build_tree(abstract)
+        t = run_once(cfg, params)
+        del params
+        return t
+
     t_int8_full = None
     if on_tpu:
-        try:
-            cfg = dataclasses.replace(FluxConfig(), num_layers=19, num_single_layers=38)
-            abstract = jax.eval_shape(
-                lambda key: init_flux(key, cfg, jnp.bfloat16), jax.random.key(0)
-            )
-            flat, treedef = jax.tree_util.tree_flatten_with_path(abstract)
-            leaves = []
-            for kp, s in flat:
-                path = "/".join(str(getattr(k, "key", k)) for k in kp)
-                if path.endswith("kernel") and len(s.shape) >= 2 and np.prod(s.shape) >= 1 << 22:
-                    leaves.append({
-                        "q": jnp.ones(s.shape, jnp.int8),
-                        "scale": jnp.full(s.shape[:-2] + (1, s.shape[-1]), 0.01, jnp.float32),
-                    })
-                else:
-                    leaves.append(jnp.full(s.shape, 0.01, s.dtype))
-            # rebuild tree with dict sub-nodes for quantized leaves
-            by_path = {
-                tuple(getattr(k, "key", getattr(k, "idx", k)) for k in kp): leaf
-                for (kp, _), leaf in zip(flat, leaves)
-            }
-
-            def _build_tree(node, prefix=()):
-                if isinstance(node, dict):
-                    return {kk: _build_tree(vv, prefix + (kk,)) for kk, vv in node.items()}
-                if isinstance(node, list):
-                    return [_build_tree(vv, prefix + (i,)) for i, vv in enumerate(node)]
-                return by_path[prefix]
-
-            params = _build_tree(abstract)
-            t_int8_full = run_once(cfg, params)
-            log(f"int8 full depth (19 dual, 38 single): {t_int8_full:.3f}s / "
-                f"{steps}-step scan ({t_int8_full / steps * 1000:.1f} ms/step) "
-                f"=> {1.0 / t_int8_full:.4f} img/s/chip MEASURED full model")
-            del params
-        except Exception as e:
-            log(f"int8 full-depth run failed ({type(e).__name__}): {str(e)[:200]}")
+        for qkey, label in [("q", "int8 weight-only"), ("q_w8a8", "W8A8")]:
+            try:
+                t = _full_depth_int8(qkey)
+                log(f"{label} full depth (19 dual, 38 single): {t:.3f}s / "
+                    f"{steps}-step scan ({t / steps * 1000:.1f} ms/step) "
+                    f"=> {1.0 / t:.4f} img/s/chip MEASURED full model")
+                if qkey == "q":
+                    t_int8_full = t
+            except Exception as e:
+                log(f"{label} full-depth run failed ({type(e).__name__}): {str(e)[:200]}")
 
     # least-squares fit t = a*nd + b*ns + c
     A = np.array([[nd, ns, 1.0] for nd, ns, _ in rows])

@@ -41,6 +41,21 @@ def linear_init(
 
 def linear(p: Params, x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
     kernel = p["kernel"]
+    if isinstance(kernel, dict) and "q_w8a8" in kernel:
+        # W8A8: dynamic per-row activation quant, int8 MXU matmul, dequant
+        xf = x.astype(jnp.float32)
+        s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        s_x = jnp.maximum(s_x, 1e-8)
+        qx = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            qx, kernel["q_w8a8"],
+            (((qx.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (acc.astype(jnp.float32) * s_x * kernel["scale"][..., 0, :]).astype(x.dtype)
+        if "bias" in p:
+            y = y + p["bias"].astype(x.dtype)
+        return y
     if isinstance(kernel, dict):  # int8 weight-only quantized (utils.quantize)
         kernel = (kernel["q"].astype(jnp.float32) * kernel["scale"]).astype(x.dtype)
     else:

@@ -37,8 +37,11 @@ def build_parser():
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--understand", action="store_true", help="text answer instead of edit")
-    p.add_argument("--quantize", type=str, default=None, choices=[None, "int8"],
-                   help="weight-only quantization for the denoiser (fits 12B FLUX on one 16GB chip)")
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=[None, "int8", "w8a8"],
+                   help="denoiser quantization: int8 = weight-only (fits 12B "
+                        "FLUX on one 16GB chip), w8a8 = int8 MXU matmuls "
+                        "(~22%% faster serving)")
     return p
 
 

@@ -93,13 +93,14 @@ class UnivaRuntime:
             self.tokenizer = load_tokenizer(model_path)
             self.vit_pixels = 200704
 
-        if quantize == "int8":
+        if quantize in ("int8", "w8a8"):
             from gpt_image_edit_tpu.utils.quantize import quantize_params
 
-            log.info("quantizing FLUX weights to int8 (weight-only)")
-            flux_params = quantize_params(flux_params)
+            mode = "w8a8" if quantize == "w8a8" else "weight_only"
+            log.info("quantizing FLUX weights to int8 (%s)", mode)
+            flux_params = quantize_params(flux_params, mode=mode)
         elif quantize:
-            raise ValueError(f"unknown quantize mode {quantize!r} (use 'int8')")
+            raise ValueError(f"unknown quantize mode {quantize!r} (int8 | w8a8)")
 
         # generate-vs-understand routing head (ref:cli.py:42-49), if shipped
         self.task_head = None
