@@ -45,3 +45,40 @@ class TestQuantize:
         y_q = linear(q["a"], x)
         rel = float(jnp.linalg.norm(y_f - y_q) / jnp.linalg.norm(y_f))
         assert rel < 0.02
+
+    def test_w8a8_linear(self):
+        params = {"kernel": jax.random.normal(jax.random.key(0), (64, 128)),
+                  "bias": jax.random.normal(jax.random.key(1), (128,)) * 0.1}
+        q = dict(params)
+        from gpt_image_edit_tpu.utils.quantize import quantize_kernel
+
+        q["kernel"] = quantize_kernel(params["kernel"], mode="w8a8")
+        assert "q_w8a8" in q["kernel"]
+        x = jax.random.normal(jax.random.key(2), (2, 5, 64))
+        y_f = linear(params, x)
+        y_q = linear(q, x)
+        rel = float(jnp.linalg.norm(y_f - y_q) / jnp.linalg.norm(y_f))
+        assert rel < 0.03, rel
+
+    def test_w8a8_tiny_flux_forward(self):
+        import jax.numpy as jnp
+
+        from gpt_image_edit_tpu.models.flux import FluxConfig, apply_flux, init_flux
+        from gpt_image_edit_tpu.ops.packing import latent_image_ids
+        from gpt_image_edit_tpu.utils.quantize import quantize_params
+
+        cfg = FluxConfig.tiny()
+        params = init_flux(jax.random.key(0), cfg)
+        qp = quantize_params(params, min_size=1024, mode="w8a8")
+        kw = dict(
+            hidden_states=jax.random.normal(jax.random.key(1), (1, 8, cfg.in_channels)),
+            encoder_hidden_states=jax.random.normal(jax.random.key(2), (1, 4, cfg.joint_attention_dim)),
+            pooled_projections=jnp.zeros((1, cfg.pooled_projection_dim)),
+            timestep=jnp.full((1,), 0.4),
+            img_ids=latent_image_ids(2, 4),
+            guidance=jnp.full((1,), 3.5),
+        )
+        o1 = apply_flux(params, cfg, **kw)
+        o2 = apply_flux(qp, cfg, **kw)
+        rel = float(jnp.linalg.norm(o1 - o2) / jnp.linalg.norm(o1))
+        assert rel < 0.05, rel

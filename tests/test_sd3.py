@@ -64,6 +64,29 @@ class TestSD3:
         assert "flux" in DENOISER_TYPE and "sd3" in DENOISER_TYPE
         assert DENOISER_TYPE["sd3"].SD3Config is SD3Config
 
+    def test_pipeline_end_to_end(self):
+        from gpt_image_edit_tpu.models.vae import VaeConfig, init_vae
+        from gpt_image_edit_tpu.pipeline.sd3 import SD3Pipeline, sd3_sigmas
+
+        cfg = SD3Config.tiny()
+        vcfg = VaeConfig.tiny()
+        pipe = SD3Pipeline(
+            init_sd3(jax.random.key(0), cfg), cfg,
+            init_vae(jax.random.key(1), vcfg), vcfg,
+        )
+        out = pipe(
+            prompt_embeds=jnp.zeros((1, 5, cfg.joint_attention_dim)),
+            pooled_prompt_embeds=jnp.zeros((1, cfg.pooled_projection_dim)),
+            height=32, width=32, num_inference_steps=2, rng=jax.random.key(2),
+            negative_prompt_embeds=[jnp.zeros((1, 5, cfg.joint_attention_dim))],
+            negative_pooled_prompt_embeds=[jnp.zeros((1, cfg.pooled_projection_dim))],
+            guidance_scales=[3.0],
+        )
+        assert out.shape == (1, 32, 32, 3)
+        assert np.isfinite(np.asarray(out)).all()
+        sig = sd3_sigmas(28)
+        assert sig[0] == 1.0 and sig[-1] == 0.0 and (np.diff(sig) < 0).all()
+
     def test_converter_roundtrip_shapes(self):
         """Build a synthetic diffusers-named state dict and convert."""
         import torch
