@@ -218,6 +218,21 @@ def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str,
         compute_dtype=compute_dtype,
     )
 
+    # CLIP pooled conditioning: the reference computes the EMPTY-prompt pooled
+    # embedding once and feeds it every step (ref:train_denoiser.py:795-801,
+    # drop_t5_rate=1.0 stages). Real checkpoints carry the CLIP encoder; tiny
+    # mode falls back to zeros inside the loss.
+    pooled_row = None
+    if not mc.tiny and mc.pretrained_denoiser_name_or_path:
+        try:
+            from gpt_image_edit_tpu.utils.prompt_embeds import FluxTextEncoders
+
+            enc = FluxTextEncoders(mc.pretrained_denoiser_name_or_path)
+            pooled_row = enc.encode_clip_pooled([""])
+            log.info("empty-prompt CLIP pooled embeds ready")
+        except Exception as e:
+            log.warning("CLIP pooled embeds unavailable (%s); using zeros", e)
+
     it = data_iterator(cfg, qcfg, vcfg)
     rng = jax.random.key(tc.seed)
     metrics_out: Dict[str, Any] = {}
@@ -240,6 +255,11 @@ def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str,
                 )
                 for k, v in host_batch.items()
             }
+            if pooled_row is not None:
+                bsz = batch["target_pixels"].shape[0]
+                batch["pooled_embeds"] = jnp.broadcast_to(
+                    pooled_row, (bsz, pooled_row.shape[-1])
+                )
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, frozen, vae_params, batch, step_rng)
 
