@@ -37,20 +37,37 @@ class BatchLoader:
         self._queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         self._thread: Optional[threading.Thread] = None
 
+    def _bucket_key(self, sample) -> tuple:
+        """Samples are grouped by target resolution (and ref count class) so
+        every batch is shape-homogeneous — multi-resolution training via
+        per-bucket batching instead of the reference's hetero pad/mask path
+        (ref:train_denoiser.py:904-916)."""
+        shape = tuple(sample["target_pixels"].shape)
+        refs = sample.get("ref_pixels")
+        k = 0 if refs is None else (1 if refs.ndim == 3 else refs.shape[0])
+        kclass = 0 if k == 0 else (1 << (k - 1).bit_length())
+        return (shape, kclass)
+
     def _producer(self):
         rng = np.random.default_rng(self.seed)
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        buckets: dict = {}
         try:
             while not self._stop.is_set():
                 idxs = [int(rng.integers(0, len(self.dataset))) for _ in range(self.batch_size)]
-                samples = list(pool.map(self.dataset.__getitem__, idxs))
-                batch = self.collator(samples)
-                while not self._stop.is_set():
-                    try:
-                        self._queue.put(batch, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
+                for s in pool.map(self.dataset.__getitem__, idxs):
+                    buckets.setdefault(self._bucket_key(s), []).append(s)
+                ready = [k for k, v in buckets.items() if len(v) >= self.batch_size]
+                for key in ready:
+                    samples = buckets[key][: self.batch_size]
+                    buckets[key] = buckets[key][self.batch_size:]
+                    batch = self.collator(samples)
+                    while not self._stop.is_set():
+                        try:
+                            self._queue.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
         finally:
             pool.shutdown(wait=False)
 

@@ -83,6 +83,112 @@ def analyze_scores(
     return {"per_group": per_group, "summary": summary}
 
 
+def step2_judge(
+    samples: List[Dict],
+    *,
+    source_path: str,
+    save_path: str,
+    model_name: str,
+    client,
+    backbone: str = "gpt4o",
+    max_workers: int = 5,
+) -> List[Dict]:
+    """VIEScore judging of generated samples, resumable via CSV
+    (ref:step2_gedit_bench.py:30-178).
+
+    samples: [{key, task_type, instruction, instruction_language,
+    Intersection_exist}] — the GEdit-Bench records (EN subset judged).
+    `client` is the MLLM judge (eval.judge.GPTJudge for the reference's
+    gpt-4.1 backbone); images live at
+      {source_path}/fullset/{group}/{lang}/{key}_SRCIMG.png   (source)
+      {save_path}/fullset/{group}/{lang}/{key}.png            (edited)
+    Writes {model_name}_{group}_gpt_score.csv per group plus the combined
+    CSV under {save_path}/{backbone}/eval_results_new/.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    from gpt_image_edit_tpu.eval.viescore import VIEScore
+
+    vie = VIEScore(client, task="tie")
+    out_dir = os.path.join(save_path, backbone, "eval_results_new")
+    os.makedirs(out_dir, exist_ok=True)
+    combined_path = os.path.join(out_dir, f"{model_name}_combined_gpt_score.csv")
+
+    processed = set()
+    if os.path.exists(combined_path):
+        with open(combined_path, newline="") as f:
+            for row in csv.DictReader(f):
+                processed.add((row["source_image"], row["edited_image"]))
+
+    fieldnames = [
+        "source_image", "edited_image", "instruction", "sementics_score",
+        "quality_score", "intersection_exist", "instruction_language",
+    ]
+
+    def judge_one(item):
+        group = item["task_type"]
+        lang = item["instruction_language"]
+        key = item["key"]
+        src = os.path.join(source_path, "fullset", group, lang, f"{key}_SRCIMG.png")
+        edited = os.path.join(save_path, "fullset", group, lang, f"{key}.png")
+        if not (os.path.exists(src) and os.path.exists(edited)):
+            return None
+        if (src, edited) in processed:
+            return None
+        # the protocol resizes the edited image to the source size
+        # (ref:step2_gedit_bench.py:35) — cache the resized view
+        with Image.open(src) as s, Image.open(edited) as e:
+            if e.size != s.size:
+                resized_dir = os.path.join(save_path, ".resized", group, lang)
+                os.makedirs(resized_dir, exist_ok=True)
+                resized = os.path.join(resized_dir, f"{key}.png")
+                e.convert("RGB").resize(s.size).save(resized)
+                edited_for_judge = resized
+            else:
+                edited_for_judge = edited
+        sc, pq, _overall = vie.evaluate([src, edited_for_judge], item["instruction"])
+        return {
+            "source_image": src,
+            "edited_image": edited,
+            "instruction": item["instruction"],
+            "sementics_score": sc,
+            "quality_score": pq,
+            "intersection_exist": item.get("Intersection_exist", ""),
+            "instruction_language": lang,
+        }
+
+    all_rows: List[Dict] = []
+    for group in GROUPS:
+        group_items = [
+            s for s in samples
+            if s["task_type"] == group and s["instruction_language"] != "cn"
+        ]
+        group_csv = os.path.join(out_dir, f"{model_name}_{group}_gpt_score.csv")
+        group_rows: List[Dict] = []
+        if os.path.exists(group_csv):
+            with open(group_csv, newline="") as f:
+                group_rows.extend(csv.DictReader(f))
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            for row in pool.map(judge_one, group_items):
+                if row is not None:
+                    group_rows.append(row)
+        with open(group_csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fieldnames)
+            w.writeheader()
+            for row in group_rows:
+                w.writerow({k: row.get(k, "") for k in fieldnames})
+        all_rows.extend(group_rows)
+
+    with open(combined_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fieldnames)
+        w.writeheader()
+        for row in all_rows:
+            w.writerow({k: row.get(k, "") for k in fieldnames})
+    return all_rows
+
+
 def write_score_row(
     csv_path: str,
     row: Dict[str, object],

@@ -20,6 +20,14 @@ from gpt_image_edit_tpu.eval.gen_samples import generate_samples
 from gpt_image_edit_tpu.eval.judge import GPTJudge, average_by_type, parse_metric_lines
 
 
+# the benchmark's per-edit-type judge rubrics, shipped with the framework
+# (PROTOCOL ASSET, identical to the ImgEdit release's eval_prompts/prompts.json;
+# ref:univa/eval/imgedit/step2_basic_bench.py:60-67)
+DEFAULT_PROMPTS_JSON = os.path.join(
+    os.path.dirname(__file__), "assets", "imgedit_prompts.json"
+)
+
+
 def load_benchmark(data_json: str) -> Dict[str, Dict]:
     with open(data_json) as f:
         return json.load(f)
@@ -44,14 +52,14 @@ def step1_generate(cfg: EvalConfig, runtime=None):
 
 def step2_judge(
     cfg: EvalConfig,
-    prompts_json: str,
-    out_json: str,
+    prompts_json: Optional[str] = None,
+    out_json: str = "imgedit_scores.json",
     *,
     judge: Optional[GPTJudge] = None,
 ):
     """Resumable judging: skips keys already present in out_json."""
     bench = load_benchmark(cfg.data_json)
-    with open(prompts_json) as f:
+    with open(prompts_json or DEFAULT_PROMPTS_JSON) as f:
         rubric = json.load(f)
     judge = judge or GPTJudge()
 

@@ -100,21 +100,40 @@ class GPTJudge:
         self.max_retries = max_retries
 
     def score(self, prompt: str, image_paths: List[str]) -> str:
-        content = [{"type": "text", "text": prompt}] + [
+        return self.score_multi(prompt, image_paths)[0]
+
+    def score_multi(
+        self,
+        prompt: str,
+        image_paths: List[str],
+        *,
+        system: Optional[str] = None,
+        n: int = 1,
+        images_first: bool = False,
+    ) -> List[str]:
+        """n sampled responses for one judged item. `images_first` places the
+        images before the text in the user turn (the Complex-Edit message
+        order, ref:complex_edit/eval/alignment.py:build_msgs)."""
+        text_part = [{"type": "text", "text": prompt}]
+        image_part = [
             {
                 "type": "image_url",
                 "image_url": {"url": f"data:image/png;base64,{_b64(p)}"},
             }
             for p in image_paths
         ]
+        content = image_part + text_part if images_first else text_part + image_part
+        messages = []
+        if system is not None:
+            messages.append({"role": "system", "content": system})
+        messages.append({"role": "user", "content": content})
         delay = 2.0
         for attempt in range(self.max_retries):
             try:
                 resp = self.client.chat.completions.create(
-                    model=self.model,
-                    messages=[{"role": "user", "content": content}],
+                    model=self.model, messages=messages, n=n,
                 )
-                return resp.choices[0].message.content
+                return [c.message.content for c in resp.choices]
             except Exception:
                 if attempt == self.max_retries - 1:
                     raise

@@ -17,12 +17,21 @@ import jax
 
 log = logging.getLogger("gie_tpu.dist")
 
+_initialized = False
+
 
 def initialize(coordinator: Optional[str] = None) -> None:
-    """Idempotent multi-process init. Single-process runs are a no-op."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    world = int(os.environ.get("WORLD_SIZE", "1"))
+    """Idempotent multi-process init. Single-process runs are a no-op.
+
+    MUST run before any other JAX call in the process: probing
+    ``jax.process_count()`` here would itself initialize the (local) backend
+    and break coordination, so idempotency is tracked with a module flag and
+    multi-host intent is detected purely from env vars / the argument.
+    """
+    global _initialized
+    if _initialized:
+        return
+    world = int(os.environ.get("WORLD_SIZE", os.environ.get("JAX_NUM_PROCESSES", "1")))
     if coordinator is None:
         addr = os.environ.get(
             "JAX_COORDINATOR_ADDRESS",
@@ -37,6 +46,7 @@ def initialize(coordinator: Optional[str] = None) -> None:
         num_processes=world if world > 1 else None,
         process_id=int(os.environ.get("RANK", "0")) if world > 1 else None,
     )
+    _initialized = True
     log.info(
         "distributed: process %d/%d, %d local / %d global devices",
         jax.process_index(), jax.process_count(),

@@ -49,6 +49,7 @@ class TrainingConfig:
     ema_decay: Optional[float] = None
     ema_update_freq: int = 1
     ema_update_after_step: int = 0
+    validation_with_ema: bool = False    # probe-generate with EMA weights
     profile_out_dir: Optional[str] = None
     report_to: Optional[str] = None      # wandb (gated) | None
 
@@ -65,8 +66,17 @@ class DatasetConfig:
     max_pixels: int = 200704
     max_seq_len: int = 2048            # LM token budget per sample (bucketed)
     anyres: str = "any_1ratio"
-    ocr_enhancer: bool = False
+    ocr_enhancer: bool = False          # inject OCR phrases (ref:qwen2vl_dataset.py:531-548)
+    use_step1x_preprocessing: bool = False  # quote-protecting tokenize (ref :32-255)
     random_data: bool = False           # synthetic smoke mode (ref:qwen2vl_dataset.py:393-459)
+    # Multi-resolution training: list of [h, w] buckets. Samples pick the
+    # bucket closest to their target aspect and batches are built per-bucket
+    # (the TPU answer to ref's hetero list-of-tensors, ref:train_denoiser.py:904-916).
+    resolution_buckets: Optional[List[List[int]]] = None
+    # Validation probes: list of {name, prompt, image_path | image_paths}.
+    # Reference-style flat slots `validation_<NAME>_prompt` / `_path`
+    # (ref:configuration_denoise.py:77-117) are converted at load time.
+    validation_probes: Optional[List[dict]] = None
 
 
 @dataclasses.dataclass
@@ -111,12 +121,50 @@ def _merge_dataclass(obj, overrides: dict):
     return obj
 
 
+def _convert_validation_slots(dataset_cfg: dict) -> dict:
+    """Fold reference-style `validation_<NAME>_prompt` / `validation_<NAME>_path`
+    pairs (ref:configuration_denoise.py:77-117, 13+ named slots) into the
+    generic `validation_probes` list so reference YAMLs load unchanged."""
+    probes = list(dataset_cfg.get("validation_probes") or [])
+    # `validation_image_path` is the reference's shared slot for it2i probes
+    shared_path = dataset_cfg.pop("validation_image_path", None)
+    names = set()
+    for key in list(dataset_cfg):
+        if key.startswith("validation_") and key.endswith("_prompt"):
+            names.add(key[len("validation_"):-len("_prompt")])
+    for name in sorted(names):
+        prompt = dataset_cfg.pop(f"validation_{name}_prompt", None)
+        path = dataset_cfg.pop(
+            f"validation_{name}_path",
+            dataset_cfg.pop(f"validation_{name}_image_path", None),
+        )
+        if path is None and name == "it2i":
+            path = shared_path
+        if prompt is None:
+            continue
+        probe = {"name": name, "prompt": prompt}
+        if isinstance(path, (list, tuple)):
+            probe["image_paths"] = list(path)
+        elif path:
+            probe["image_path"] = path
+        probes.append(probe)
+    if probes:
+        dataset_cfg["validation_probes"] = probes
+    return dataset_cfg
+
+
 def load_config(yaml_path: Optional[str] = None, overrides: Optional[dict] = None) -> TrainDenoiseConfig:
     cfg = TrainDenoiseConfig()
     if yaml_path:
         with open(yaml_path) as f:
             data = yaml.safe_load(f) or {}
+        if "dataset_config" in (data or {}):
+            data["dataset_config"] = _convert_validation_slots(data["dataset_config"])
         _merge_dataclass(cfg, data)
     if overrides:
+        if "dataset_config" in overrides:
+            overrides["dataset_config"] = _convert_validation_slots(
+                overrides["dataset_config"]
+            )
         _merge_dataclass(cfg, overrides)
     return cfg

@@ -129,7 +129,9 @@ def flow_matching_loss(
       input_ids (B,S), position_ids (3,B,S), attention_mask (B,S)
       pixel_patches (N,patch_dim) + vision_aux   [optional, ViT view of refs]
       target_pixels (B,H,W,3) in [-1,1]
-      ref_pixels (B,Hr,Wr,3) in [-1,1]           [optional Kontext conditioning]
+      ref_pixels (B,Hr,Wr,3) or (B,K,Hr,Wr,3)    [optional Kontext conditioning;
+                                                  5-D = multi-ref, zero-padded]
+      ref_valid (B,K) bool                       [with 5-D ref_pixels]
       weight_mask (B, S_tgt)                     [optional region weights]
       t5_embeds (B,S_t5,4096)                    [optional T5 suffix]
     """
@@ -161,17 +163,45 @@ def flow_matching_loss(
     x0p = pack_latents(x0).astype(jnp.float32)  # (B, S_tgt, 4C)
 
     ref_packed = None
+    ref_token_mask = None  # (B, S_ref_total) False on padded-ref tokens
     ids = latent_image_ids(lh // 2, lw // 2, modality=0)
     if batch.get("ref_pixels") is not None:
-        xr = encode_to_scaled_latents(
-            vae_params, vae_cfg, batch["ref_pixels"].astype(jnp.float32)
-        )
-        xr = jax.lax.stop_gradient(xr)
-        ref_packed = pack_latents(xr).astype(compute_dtype)
-        rh, rw = xr.shape[1], xr.shape[2]
-        ids = jnp.concatenate(
-            [ids, latent_image_ids(rh // 2, rw // 2, modality=1)], axis=0
-        )
+        rp = batch["ref_pixels"]
+        if rp.ndim == 5:
+            # multi-reference conditioning: K refs per sample, zero-padded
+            # with a validity mask. All ref latents are concatenated along
+            # the sequence dim with modality ids 1..K — the training-side
+            # mirror of inference's encode_references
+            # (ref:train_denoiser.py:1006-1055, data_collator.py:6-47).
+            bb, k, rh_px, rw_px, cc = rp.shape
+            xr = encode_to_scaled_latents(
+                vae_params, vae_cfg,
+                rp.reshape(bb * k, rh_px, rw_px, cc).astype(jnp.float32),
+            )
+            xr = jax.lax.stop_gradient(xr)
+            rh, rw = xr.shape[1], xr.shape[2]
+            packed = pack_latents(xr).astype(compute_dtype)  # (B*K, S_r, 4C)
+            s_r = packed.shape[1]
+            ref_packed = packed.reshape(bb, k * s_r, packed.shape[-1])
+            ids = jnp.concatenate(
+                [ids]
+                + [latent_image_ids(rh // 2, rw // 2, modality=i + 1) for i in range(k)],
+                axis=0,
+            )
+            if batch.get("ref_valid") is not None:
+                ref_token_mask = jnp.repeat(
+                    batch["ref_valid"].astype(jnp.bool_), s_r, axis=1
+                )
+        else:
+            xr = encode_to_scaled_latents(
+                vae_params, vae_cfg, rp.astype(jnp.float32)
+            )
+            xr = jax.lax.stop_gradient(xr)
+            ref_packed = pack_latents(xr).astype(compute_dtype)
+            rh, rw = xr.shape[1], xr.shape[2]
+            ids = jnp.concatenate(
+                [ids, latent_image_ids(rh // 2, rw // 2, modality=1)], axis=0
+            )
 
     # --- flow matching: x_s = (1-s) x0 + s eps, target v = eps - x0
     if discrete_timestep:
@@ -190,14 +220,22 @@ def flow_matching_loss(
         model_in = jnp.concatenate([model_in, ref_packed], axis=1)
 
     pad_mask = None
-    if batch.get("attention_mask") is not None:
-        img_len = model_in.shape[1]
+    if batch.get("attention_mask") is not None or ref_token_mask is not None:
         t5_len = 0 if batch.get("t5_embeds") is None else batch["t5_embeds"].shape[1]
+        text_mask = (
+            batch["attention_mask"].astype(jnp.bool_)
+            if batch.get("attention_mask") is not None
+            else jnp.ones((b, prompt_embeds.shape[1] - t5_len), jnp.bool_)
+        )
+        tgt_len = x0p.shape[1]
+        ref_len = model_in.shape[1] - tgt_len
+        ref_mask = (
+            ref_token_mask
+            if ref_token_mask is not None
+            else jnp.ones((b, ref_len), jnp.bool_)
+        )
         pad_mask = jnp.concatenate(
-            [
-                batch["attention_mask"].astype(jnp.bool_),
-                jnp.ones((b, t5_len + img_len), jnp.bool_),
-            ],
+            [text_mask, jnp.ones((b, t5_len + tgt_len), jnp.bool_), ref_mask],
             axis=-1,
         )
 

@@ -35,10 +35,11 @@ log = logging.getLogger("gie_tpu.train")
 def build_models(cfg: TrainDenoiseConfig):
     """Returns (qcfg, fcfg, vcfg, params, vae_params)."""
     mc = cfg.model_config
+    remat = cfg.training_config.gradient_checkpointing
     if mc.tiny:
         qcfg = Qwen2p5VLConfig.tiny()
         fcfg = dataclasses.replace(
-            FluxConfig.tiny(), joint_attention_dim=qcfg.projector_out
+            FluxConfig.tiny(), joint_attention_dim=qcfg.projector_out, remat=remat
         )
         vcfg = VaeConfig.tiny()
         params = {
@@ -55,7 +56,7 @@ def build_models(cfg: TrainDenoiseConfig):
     )
 
     qcfg = Qwen2p5VLConfig()
-    fcfg = FluxConfig()
+    fcfg = dataclasses.replace(FluxConfig(), remat=remat)
     vcfg = VaeConfig()
     qwen, flux = load_merged_checkpoint(mc.pretrained_lvlm_name_or_path, qcfg, fcfg)
     vae_src = TensorSource.from_dir(mc.pretrained_denoiser_name_or_path)
@@ -85,6 +86,9 @@ def data_iterator(cfg: TrainDenoiseConfig, qcfg, vcfg=None) -> Iterator[Dict[str
         merge_size=qcfg.vision.spatial_merge_size,
         temporal_patch_size=qcfg.vision.temporal_patch_size,
         latent_downscale=vcfg.downscale if vcfg is not None else 8,
+        ocr_enhancer=dc.ocr_enhancer,
+        use_step1x=dc.use_step1x_preprocessing,
+        resolution_buckets=dc.resolution_buckets,
     )
     coll = Collator(qcfg.vision, padding_side=dc.padding_side)
     from gpt_image_edit_tpu.data.loader import BatchLoader
@@ -98,18 +102,32 @@ def data_iterator(cfg: TrainDenoiseConfig, qcfg, vcfg=None) -> Iterator[Dict[str
     yield from loader
 
 
-def _run_validation_probes(cfg, state, frozen, vae_params, qcfg, fcfg, vcfg, step):
-    """Periodic probe-image generation (ref:train_denoiser.py:1243-1352).
-    Probes come from `dataset_config.validation_*_prompt/path` pairs when
-    configured; in random_data/tiny mode a synthetic probe is used."""
-    from PIL import Image
+def _config_probes(cfg):
+    """Probe list from `dataset_config.validation_probes` (the reference's 13
+    named validation_*_prompt/path slots fold into this at config-load time,
+    ref:configuration_denoise.py:77-117); falls back to one synthetic probe
+    in random_data/tiny smoke mode."""
+    from gpt_image_edit_tpu.training.validation import ValidationProbe
 
+    entries = cfg.dataset_config.validation_probes
+    if entries:
+        return [ValidationProbe(**e) for e in entries]
+    return [ValidationProbe(name="synthetic", prompt="make the sky dramatic")]
+
+
+def _run_validation_probes(
+    cfg, state, frozen, vae_params, qcfg, fcfg, vcfg, step, pooled_row=None, ema=None
+):
+    """Periodic probe-image generation (ref:train_denoiser.py:1243-1352).
+    `pooled_row` is the real empty-prompt CLIP pooled embedding when available
+    (the reference's validation conditioning, ref:train_denoiser.py:1458-1468);
+    `ema` swaps in EMA weights when `training_config.validation_with_ema`."""
     from gpt_image_edit_tpu.data import constants as C
     from gpt_image_edit_tpu.data.image_processing import preprocess_vit_patches
     from gpt_image_edit_tpu.data.tokenizer import load_tokenizer
     from gpt_image_edit_tpu.models.qwen2p5vl import apply_qwen, vision
     from gpt_image_edit_tpu.models.qwen2p5vl.rope_index import get_rope_index
-    from gpt_image_edit_tpu.training.validation import ValidationProbe, run_validation
+    from gpt_image_edit_tpu.training.validation import run_validation
 
     dc = cfg.dataset_config
     tok = load_tokenizer(
@@ -117,17 +135,19 @@ def _run_validation_probes(cfg, state, frozen, vae_params, qcfg, fcfg, vcfg, ste
         else cfg.model_config.pretrained_lvlm_name_or_path
     )
 
-    probes = [ValidationProbe(name="synthetic", prompt="make the sky dramatic")]
+    probes = _config_probes(cfg)
+    if ema is not None and cfg.training_config.validation_with_ema:
+        state = dict(state, train=ema)
 
-    def encode_prompt_fn(params, prompt, image):
-        value = ("<image>" if image is not None else "") + prompt
+    def encode_prompt_fn(params, prompt, images):
+        value = "<image>" * len(images) + prompt
         text = (
             f"<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
             f"<|im_start|>user\n{value}<|im_end|>\n<|im_start|>assistant\n"
             + C.SPECIAL_TOKENS["image_begin_token"]
         )
-        patches = grids = None
-        if image is not None:
+        patches, grids = [], []
+        for image in images:
             flat, grid = preprocess_vit_patches(
                 image,
                 patch_size=qcfg.vision.patch_size,
@@ -142,21 +162,23 @@ def _run_validation_probes(cfg, state, frozen, vae_params, qcfg, fcfg, vcfg, ste
                 + C.SPECIAL_TOKENS["image_end_token"],
                 1,
             )
-            patches, grids = flat, np.asarray([grid], np.int64)
+            patches.append(flat)
+            grids.append(grid)
+        grid_arr = np.asarray(grids, np.int64) if grids else None
         ids = np.asarray([tok.encode(text)], np.int64)
         attn = np.ones_like(ids)
         pos, _ = get_rope_index(
-            ids, grids, attn,
+            ids, grid_arr, attn,
             spatial_merge_size=qcfg.vision.spatial_merge_size,
             image_token_id=qcfg.image_token_id,
             video_token_id=qcfg.video_token_id,
             vision_start_token_id=qcfg.vision_start_token_id,
         )
         kwargs = {}
-        if patches is not None:
+        if patches:
             kwargs = dict(
-                pixel_patches=jnp.asarray(patches),
-                vision_aux=vision.vision_precompute(grids, qcfg.vision),
+                pixel_patches=jnp.asarray(np.concatenate(patches, 0)),
+                vision_aux=vision.vision_precompute(grid_arr, qcfg.vision),
             )
         embeds = apply_qwen(
             params["qwen"], qcfg,
@@ -164,7 +186,10 @@ def _run_validation_probes(cfg, state, frozen, vae_params, qcfg, fcfg, vcfg, ste
             attention_mask=jnp.asarray(attn), output_type="denoise_embeds",
             **kwargs,
         )
-        pooled = jnp.zeros((1, fcfg.pooled_projection_dim), embeds.dtype)
+        if pooled_row is not None:
+            pooled = jnp.broadcast_to(pooled_row, (1, pooled_row.shape[-1]))
+        else:
+            pooled = jnp.zeros((1, fcfg.pooled_projection_dim), embeds.dtype)
         return embeds, pooled
 
     size = 8 * vcfg.downscale if vcfg.downscale != 8 else 512
@@ -223,42 +248,73 @@ def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str,
     # drop_t5_rate=1.0 stages). Real checkpoints carry the CLIP encoder; tiny
     # mode falls back to zeros inside the loss.
     pooled_row = None
+    text_encoders = None
     if not mc.tiny and mc.pretrained_denoiser_name_or_path:
-        try:
-            from gpt_image_edit_tpu.utils.prompt_embeds import FluxTextEncoders
+        from gpt_image_edit_tpu.utils.prompt_embeds import FluxTextEncoders
 
-            enc = FluxTextEncoders(mc.pretrained_denoiser_name_or_path)
-            pooled_row = enc.encode_clip_pooled([""])
-            log.info("empty-prompt CLIP pooled embeds ready")
-        except Exception as e:
-            log.warning("CLIP pooled embeds unavailable (%s); using zeros", e)
+        # Lazy container: touching .clip below loads ONLY the CLIP-L encoder
+        # (~120M params); T5-XXL stays unloaded unless drop_t5_rate < 1.
+        # A real (non-tiny) run must not silently fall back to zeros — that
+        # would diverge from the reference, which always feeds the real
+        # empty-prompt pooled row (ref:train_denoiser.py:795-805).
+        text_encoders = FluxTextEncoders(mc.pretrained_denoiser_name_or_path)
+        pooled_row = text_encoders.encode_clip_pooled([""])
+        log.info("empty-prompt CLIP pooled embeds ready")
+
+    # T5 prefix conditioning: with prob (1 - drop_t5_rate) the last-turn
+    # instruction is T5-encoded each step (ref:train_denoiser.py:860-869).
+    if tc.drop_t5_rate < 1.0 and text_encoders is None:
+        raise ValueError(
+            "drop_t5_rate < 1.0 needs the FLUX text encoders "
+            "(set model_config.pretrained_denoiser_name_or_path, non-tiny)"
+        )
+    import random as _random
+
+    t5_rng = _random.Random(tc.seed)
 
     it = data_iterator(cfg, qcfg, vcfg)
     rng = jax.random.key(tc.seed)
     metrics_out: Dict[str, Any] = {}
+    from gpt_image_edit_tpu.training.metrics import MetricsLogger, prodigy_d
+    from gpt_image_edit_tpu.training.optimizer import lr_schedule
+
+    mlog = MetricsLogger(tc.output_dir, tc.report_to,
+                         run_config=dataclasses.asdict(cfg))
+    schedule = lr_schedule(tc)
 
     if tc.profile_out_dir:
         jax.profiler.start_trace(tc.profile_out_dir)
 
     t0 = time.time()
+    pending = []  # (step, device-metrics) awaiting fetch
     with mesh:
         for step in range(start_step, max_steps):
             host_batch = next(it)
+            instructions = host_batch.pop("instructions", None)
+            host_batch.pop("labels", None)  # CE labels: unused by the denoiser loss
             batch = {
                 k: (
                     jax.device_put(
                         v, batch_sharding(mesh, np.ndim(v), batch_size=len(v))
                     )
                     if k in ("target_pixels", "ref_pixels", "input_ids",
-                             "attention_mask", "weight_mask")
+                             "attention_mask", "weight_mask", "ref_valid")
                     else v
                 )
                 for k, v in host_batch.items()
             }
+            bsz = batch["target_pixels"].shape[0]
             if pooled_row is not None:
-                bsz = batch["target_pixels"].shape[0]
                 batch["pooled_embeds"] = jnp.broadcast_to(
                     pooled_row, (bsz, pooled_row.shape[-1])
+                )
+            if (
+                tc.drop_t5_rate <= t5_rng.random()
+                and text_encoders is not None
+                and instructions is not None
+            ):
+                batch["t5_embeds"] = text_encoders.encode_t5(
+                    list(instructions), max_length=256
                 )
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, frozen, vae_params, batch, step_rng)
@@ -270,11 +326,25 @@ def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str,
                 )
                 ema = ema_update(ema, state["train"], decay)
 
+            # Per-step metrics are recorded EVERY step (parity with the
+            # reference's wandb tracking) but only fetched from device at the
+            # logging interval — float() each step would sync the pipeline.
+            pending.append((step + 1, metrics))
             if (step + 1) % tc.logging_steps == 0 or step == start_step:
-                loss = float(metrics["loss"])
-                gn = float(metrics["grad_norm"])
+                loss = gn = None
+                for s, m in pending:
+                    loss, gn = float(m["loss"]), float(m["grad_norm"])
+                    lr = float(schedule(s - 1))
+                    d = prodigy_d(state["opt"]) if tc.optimizer == "prodigy" else None
+                    mlog.log(s, {
+                        "train_loss": loss, "grad_norm": gn, "lr": lr,
+                        "prodigy_d": d,
+                        "prodigy_d_lr": (d * lr) if d is not None else None,
+                    })
+                pending.clear()
                 dt = (time.time() - t0) / max(step - start_step + 1, 1)
-                log.info("step %d loss %.4f grad_norm %.3f %.2fs/it", step + 1, loss, gn, dt)
+                log.info("step %d loss %.4f grad_norm %.3f lr %.2e %.2fs/it",
+                         step + 1, loss, gn, float(schedule(step)), dt)
                 metrics_out = {"loss": loss, "grad_norm": gn, "sec_per_it": dt}
 
             if (step + 1) % tc.checkpointing_steps == 0:
@@ -283,13 +353,15 @@ def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str,
             if tc.validation_steps and (step + 1) % tc.validation_steps == 0:
                 try:
                     _run_validation_probes(
-                        cfg, state, frozen, vae_params, qcfg, fcfg, vcfg, step + 1
+                        cfg, state, frozen, vae_params, qcfg, fcfg, vcfg, step + 1,
+                        pooled_row=pooled_row, ema=ema,
                     )
                 except Exception as e:  # validation must never kill training
                     log.warning("validation failed at step %d: %s", step + 1, e)
 
     if tc.profile_out_dir:
         jax.profiler.stop_trace()
+    mlog.close()
     manager.wait_until_finished()
     metrics_out["final_step"] = max_steps
     return metrics_out

@@ -26,7 +26,13 @@ log = logging.getLogger("gie_tpu.validate")
 class ValidationProbe:
     name: str
     prompt: str
-    image_path: Optional[str] = None  # conditioning image
+    image_path: Optional[str] = None          # single conditioning image
+    image_paths: Optional[List[str]] = None   # multi-ref (iit2i/REFiit2i slots)
+
+    def paths(self) -> List[str]:
+        if self.image_paths:
+            return list(self.image_paths)
+        return [self.image_path] if self.image_path else []
 
 
 def run_validation(
@@ -37,7 +43,7 @@ def run_validation(
     qwen_cfg,
     flux_cfg,
     vae_cfg,
-    encode_prompt_fn,      # (prompt, image) -> (prompt_embeds, pooled)
+    encode_prompt_fn,      # (params, prompt, images: List) -> (prompt_embeds, pooled)
     probes: List[ValidationProbe],
     output_dir: str,
     step: int,
@@ -59,11 +65,16 @@ def run_validation(
 
     written = []
     for i, probe in enumerate(probes):
-        image = Image.open(probe.image_path) if probe.image_path else None
-        embeds, pooled = encode_prompt_fn(params, probe.prompt, image)
+        images = [Image.open(p) for p in probe.paths()]
+        embeds, pooled = encode_prompt_fn(params, probe.prompt, images)
         cond = None
-        if image is not None:
-            cond = jnp.asarray(preprocess_vae_image(image, height, width))[None]
+        if len(images) > 1:
+            cond = [
+                jnp.asarray(preprocess_vae_image(im, height, width))[None]
+                for im in images
+            ]
+        elif images:
+            cond = jnp.asarray(preprocess_vae_image(images[0], height, width))[None]
         out = pipe(
             prompt_embeds=embeds,
             pooled_prompt_embeds=pooled,

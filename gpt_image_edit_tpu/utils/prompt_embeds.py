@@ -17,21 +17,62 @@ from gpt_image_edit_tpu.models import t5 as t5_mod
 
 
 class FluxTextEncoders:
+    """Lazy container: CLIP and T5 weights are loaded on first use, so a
+    caller that only needs the 768-dim CLIP pooled row (e.g. the trainer's
+    empty-prompt conditioning, ref:train_denoiser.py:795-805) never
+    materializes the ~19GB T5-XXL encoder."""
+
     def __init__(self, flux_ckpt_dir: str):
-        from transformers import AutoTokenizer
-
-        from gpt_image_edit_tpu.utils.ckpt_convert import TensorSource
-
+        self._dir = flux_ckpt_dir
         self.clip_cfg = clip_mod.ClipTextConfig()
         self.t5_cfg = t5_mod.T5Config()
-        self.clip_tokenizer = AutoTokenizer.from_pretrained(f"{flux_ckpt_dir}/tokenizer")
-        self.t5_tokenizer = AutoTokenizer.from_pretrained(f"{flux_ckpt_dir}/tokenizer_2")
-        self.clip_params = clip_mod.convert_clip(
-            TensorSource.from_dir(f"{flux_ckpt_dir}/text_encoder"), self.clip_cfg
-        )
-        self.t5_params = t5_mod.convert_t5(
-            TensorSource.from_dir(f"{flux_ckpt_dir}/text_encoder_2"), self.t5_cfg
-        )
+        self._clip = None  # (tokenizer, params)
+        self._t5 = None
+
+    @property
+    def clip(self):
+        if self._clip is None:
+            from transformers import AutoTokenizer
+
+            from gpt_image_edit_tpu.utils.ckpt_convert import TensorSource
+
+            tok = AutoTokenizer.from_pretrained(f"{self._dir}/tokenizer")
+            params = clip_mod.convert_clip(
+                TensorSource.from_dir(f"{self._dir}/text_encoder"), self.clip_cfg
+            )
+            self._clip = (tok, params)
+        return self._clip
+
+    @property
+    def t5(self):
+        if self._t5 is None:
+            from transformers import AutoTokenizer
+
+            from gpt_image_edit_tpu.utils.ckpt_convert import TensorSource
+
+            tok = AutoTokenizer.from_pretrained(f"{self._dir}/tokenizer_2")
+            params = t5_mod.convert_t5(
+                TensorSource.from_dir(f"{self._dir}/text_encoder_2"), self.t5_cfg
+            )
+            self._t5 = (tok, params)
+        return self._t5
+
+    # Backwards-compatible attribute access
+    @property
+    def clip_tokenizer(self):
+        return self.clip[0]
+
+    @property
+    def clip_params(self):
+        return self.clip[1]
+
+    @property
+    def t5_tokenizer(self):
+        return self.t5[0]
+
+    @property
+    def t5_params(self):
+        return self.t5[1]
 
     def encode_clip_pooled(self, prompts: List[str]) -> jnp.ndarray:
         """(B, 768) pooled embeds

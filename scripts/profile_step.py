@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Profile ONE full-width FLUX denoise forward on the TPU and print an
+op-class time breakdown (parsed from the captured xplane trace).
+
+Usage:
+  python scripts/profile_step.py [w8a8|int8|bf16] [--depth ND NS]
+
+Used to locate the non-2x parts of the W8A8 serving path (activation quant,
+scale muls, unquantized ops, bf16 attention) — VERDICT r1 item #2.
+"""
+
+import dataclasses
+import glob
+import os
+import sys
+import tempfile
+import time
+from collections import defaultdict
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_xplane(logdir):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    assert paths, f"no xplane under {logdir}"
+    xs = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    rows = []  # (name, total_ps, count)
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name.lower():
+            continue
+        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        agg = defaultdict(lambda: [0, 0])
+        for line in plane.lines:
+            # XLA Ops line has per-op events
+            if "XLA Ops" not in line.name and "Ops" not in line.name:
+                continue
+            for ev in line.events:
+                name = ev_meta.get(ev.metadata_id, "?")
+                agg[name][0] += ev.duration_ps
+                agg[name][1] += 1
+        for name, (ps, cnt) in agg.items():
+            rows.append((name, ps, cnt))
+    return rows
+
+
+def classify(name):
+    n = name.lower()
+    if "custom-call" in n or "flash" in n or "pallas" in n or "tpu_custom_call" in n:
+        return "flash_attention(custom-call)"
+    if "convolution" in n or "dot" in n:
+        return "matmul"
+    if n.startswith("fusion") or ".fusion" in n:
+        return "fusion(elementwise/epilogue)"
+    if "copy" in n:
+        return "copy"
+    if "convert" in n:
+        return "convert"
+    if "all-reduce" in n or "all-gather" in n:
+        return "collective"
+    return "other"
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "w8a8"
+    nd, ns = 19, 38
+    if "--depth" in sys.argv:
+        i = sys.argv.index("--depth")
+        nd, ns = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    from gpt_image_edit_tpu.models.flux import FluxConfig, apply_flux, init_flux
+    from gpt_image_edit_tpu.ops.packing import latent_image_ids
+
+    cfg = dataclasses.replace(FluxConfig(), num_layers=nd, num_single_layers=ns)
+    abstract = jax.eval_shape(lambda k: init_flux(k, cfg, jnp.bfloat16), jax.random.key(0))
+    flat, _ = jax.tree_util.tree_flatten_with_path(abstract)
+    leaves = []
+    for kp, s in flat:
+        path = "/".join(str(getattr(k, "key", k)) for k in kp)
+        big = path.endswith("kernel") and len(s.shape) >= 2 and np.prod(s.shape) >= 1 << 22
+        if big and mode in ("w8a8", "int8"):
+            qkey = "q_w8a8" if mode == "w8a8" else "q"
+            leaves.append({
+                qkey: jnp.ones(s.shape, jnp.int8),
+                "scale": jnp.full(s.shape[:-2] + (1, s.shape[-1]), 0.01, jnp.float32),
+            })
+        else:
+            leaves.append(jnp.full(s.shape, 0.01, s.dtype))
+    by_path = {
+        tuple(getattr(k, "key", getattr(k, "idx", k)) for k in kp): leaf
+        for (kp, _), leaf in zip(flat, leaves)
+    }
+
+    def _build(node, prefix=()):
+        if isinstance(node, dict):
+            return {kk: _build(vv, prefix + (kk,)) for kk, vv in node.items()}
+        if isinstance(node, list):
+            return [_build(vv, prefix + (i,)) for i, vv in enumerate(node)]
+        return by_path[prefix]
+
+    params = _build(abstract)
+
+    b, h, w, s_txt = 1, 128, 128, 512
+    s_tgt = (h // 2) * (w // 2)
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.standard_normal((b, 2 * s_tgt, cfg.in_channels)), jnp.bfloat16)
+    ids = jnp.concatenate(
+        [latent_image_ids(h // 2, w // 2, 0), latent_image_ids(h // 2, w // 2, 1)], axis=0
+    )
+    embeds = jnp.zeros((b, s_txt, cfg.joint_attention_dim), jnp.bfloat16)
+    pooled = jnp.zeros((b, cfg.pooled_projection_dim), jnp.bfloat16)
+
+    @jax.jit
+    def step(params, lat):
+        return apply_flux(
+            params, cfg,
+            hidden_states=lat,
+            encoder_hidden_states=embeds,
+            pooled_projections=pooled,
+            timestep=jnp.full((b,), 0.5, jnp.float32),
+            img_ids=ids,
+            guidance=jnp.full((b,), 3.5, jnp.float32),
+        )
+
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    t0 = time.time()
+    out = step(params, latents)
+    sync(out)
+    print(f"[{mode}] compile+run: {time.time()-t0:.1f}s", flush=True)
+
+    # timed reps (chained)
+    lat = latents
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        lat = step(params, lat.astype(jnp.bfloat16))  # output shape == input shape
+    sync(lat)
+    dt = (time.perf_counter() - t0) / reps
+    print(f"[{mode}] step time: {dt*1000:.1f} ms", flush=True)
+
+    logdir = tempfile.mkdtemp(prefix=f"prof_{mode}_")
+    with jax.profiler.trace(logdir):
+        o = step(params, latents)
+        sync(o)
+    rows = parse_xplane(logdir)
+    by_class = defaultdict(lambda: [0, 0])
+    for name, ps, cnt in rows:
+        c = classify(name)
+        by_class[c][0] += ps
+        by_class[c][1] += cnt
+    total = sum(v[0] for v in by_class.values())
+    print(f"\n== op-class breakdown ({mode}, total {total/1e9:.2f} ms on-device) ==")
+    for c, (ps, cnt) in sorted(by_class.items(), key=lambda kv: -kv[1][0]):
+        print(f"  {c:36s} {ps/1e9:9.2f} ms  {100*ps/max(total,1):5.1f}%  ({cnt} events)")
+    print("\n== top 25 ops ==")
+    for name, ps, cnt in sorted(rows, key=lambda r: -r[1])[:25]:
+        print(f"  {ps/1e9:8.2f} ms  x{cnt:4d}  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

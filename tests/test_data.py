@@ -50,7 +50,7 @@ class TestDatasetAndCollator:
         )
         sample = ds[0]
         assert sample["target_pixels"].shape == (64, 64, 3)
-        assert sample["ref_pixels"].shape == (64, 64, 3)
+        assert sample["ref_pixels"].shape == (1, 64, 64, 3)  # (K, H, W, 3)
         # prompt contains expansion: begin + pads + end, plus gen trigger
         ids = sample["input_ids"]
         assert (ids == C.IMAGE_TOKEN_ID).sum() == np.prod(sample["grid_thw"][0]) // 4

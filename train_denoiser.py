@@ -32,6 +32,11 @@ def _parse_overrides(args):
 
 def main():
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    # Multi-host coordination must happen before ANY other jax use
+    # (the NCCL init analogue, ref:train_denoiser.py:324 Accelerator()).
+    from gpt_image_edit_tpu.parallel.distributed import initialize
+
+    initialize()
     yaml_path = None
     rest = sys.argv[1:]
     if rest and "=" not in rest[0]:
