@@ -1,14 +1,23 @@
 #!/usr/bin/env python
 """Gradio web UI (ref:app.py, ref:univa/serve/gradio_web_server.py).
 
-Multi-image prompts collage adaptively (ref:app.py:324-329), the task head
-routes generate-vs-understand with manual override checkboxes
-(ref:app.py:272-277), seeds are managed per-request. Requires `gradio`
-(host-side; not bundled in this image — the CLI covers headless use)."""
+Feature parity with the reference app:
+- multi-turn CHAT with history-image conditioning: every generated image
+  joins the conversation and conditions later edits (ref:app.py:222-330)
+- per-step diffusion progress bar (ref:app.py:308-313 callback_on_step_end)
+- generate/understand routing with manual override checkboxes (:272-277)
+- quantized-load option (int8 / w8a8 — the NF4 analogue, :129-176)
+- seed management incl. -1 = fresh random seed per turn
+- OCR prompt enhancer and T5-joint toggles (:236-244, :296-302)
+- multi-image per turn; N images per prompt collaged adaptively (:324-329)
+
+Requires `gradio` (host-side; not bundled in this image — the CLI covers
+headless use)."""
 
 from __future__ import annotations
 
 import argparse
+import random
 
 from PIL import Image
 
@@ -16,42 +25,85 @@ from PIL import Image
 def build_demo(runtime, default_steps=28, default_guidance=3.5):
     import gradio as gr
 
-    from gpt_image_edit_tpu.utils.anyres import concat_images_adaptive
+    runtime.reset_chat()
 
-    def chat_step(images, prompt, steps, guidance, seed, force_gen, force_und):
-        pils = [Image.open(f.name) for f in images] if images else []
-        if len(pils) > 1:
-            pils = [concat_images_adaptive(pils)]
-        image = pils[0] if pils else None
-        generate = force_gen or (image is not None and not force_und)
-        if generate:
-            out = runtime.edit(
-                prompt, image, steps=int(steps), guidance=float(guidance),
-                seed=int(seed),
+    def chat_step(
+        image1, image2, text, steps, guidance, seed, num_imgs,
+        ocr_enhancer, force_gen, force_und, chatbox,
+        progress=gr.Progress(),
+    ):
+        from gpt_image_edit_tpu.utils.anyres import concat_images_adaptive
+
+        new_images = [Image.open(f) if isinstance(f, str) else f
+                      for f in (image1, image2) if f is not None]
+        force = True if force_gen else (False if force_und else None)
+        seed = int(seed)
+        if seed == -1:
+            seed = random.SystemRandom().randrange(2**31)
+
+        def on_step(step_idx):
+            progress((int(step_idx) + 1) / float(steps))
+
+        outs = []
+        answer = None
+        n = max(1, int(num_imgs))
+        for i in range(n):
+            img, answer = runtime.chat_turn(
+                text if i == 0 else text,  # one logical turn; extra samples reseed
+                new_images if i == 0 else [],
+                force_generate=force if i == 0 else (True if outs else force),
+                ocr_enhancer=ocr_enhancer,
+                steps=int(steps), guidance=float(guidance),
+                seed=seed + i, step_callback=on_step,
             )
-            return out, ""
-        return None, runtime.answer(prompt, image)
+            if img is None:
+                break
+            outs.append(img)
+            if n > 1 and i + 1 < n:
+                # extra samples should not stack into the history
+                runtime.conversation.pop()
+                runtime.history_images.pop()
+        progress(1.0)
+        chatbox = list(chatbox or [])
+        chatbox.append((text, answer))
+        out_img = concat_images_adaptive(outs) if len(outs) > 1 else (
+            outs[0] if outs else None
+        )
+        return out_img, answer or "", chatbox, seed
+
+    def reset():
+        runtime.reset_chat()
+        return None, "", [], 0
 
     with gr.Blocks(title="GPT-Image-Edit (TPU)") as demo:
-        gr.Markdown("## GPT-Image-Edit — TPU-native serving")
+        gr.Markdown("## GPT-Image-Edit — TPU-native serving\n"
+                    "多轮对话 / multi-turn chat: generated images condition later edits")
         with gr.Row():
             with gr.Column():
-                images = gr.File(file_count="multiple", label="input image(s)")
+                image1 = gr.Image(label="input image 1", type="pil")
+                image2 = gr.Image(label="input image 2", type="pil")
                 prompt = gr.Textbox(label="instruction / question")
                 steps = gr.Slider(1, 50, value=default_steps, step=1, label="steps")
                 guidance = gr.Slider(0.0, 10.0, value=default_guidance, label="guidance")
-                seed = gr.Number(value=0, label="seed")
+                seed = gr.Number(value=-1, label="seed (-1 = random per turn)")
+                num_imgs = gr.Slider(1, 4, value=1, step=1, label="images per prompt")
+                ocr = gr.Checkbox(label="OCR prompt enhancer")
                 force_gen = gr.Checkbox(label="force image generation")
                 force_und = gr.Checkbox(label="force text answer")
-                go = gr.Button("Run")
+                go = gr.Button("Send")
+                clear = gr.Button("New chat")
             with gr.Column():
                 out_img = gr.Image(label="edited image")
                 out_txt = gr.Textbox(label="text answer")
+                chatbox = gr.Chatbot(label="conversation")
+                used_seed = gr.Number(label="seed used", interactive=False)
         go.click(
             chat_step,
-            [images, prompt, steps, guidance, seed, force_gen, force_und],
-            [out_img, out_txt],
+            [image1, image2, prompt, steps, guidance, seed, num_imgs,
+             ocr, force_gen, force_und, chatbox],
+            [out_img, out_txt, chatbox, used_seed],
         )
+        clear.click(reset, [], [out_img, out_txt, chatbox, used_seed])
     return demo
 
 
@@ -61,6 +113,11 @@ def main():
     ap.add_argument("--flux_path", default=None)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--quantize", default=None,
+                    choices=[None, "int8", "w8a8", "w8a8-attn"],
+                    help="int8 weight-only / W8A8 int8-MXU serving "
+                         "(the reference's NF4 option, ref:app.py:129-176)")
+    ap.add_argument("--no_joint_with_t5", action="store_true")
     args = ap.parse_args()
 
     try:
@@ -73,7 +130,10 @@ def main():
 
     from gpt_image_edit_tpu.serve.runtime import UnivaRuntime
 
-    rt = UnivaRuntime(args.model_path, args.flux_path, tiny=args.tiny)
+    rt = UnivaRuntime(
+        args.model_path, args.flux_path, tiny=args.tiny,
+        quantize=args.quantize, joint_with_t5=not args.no_joint_with_t5,
+    )
     build_demo(rt).launch(server_port=args.port)
 
 

@@ -165,7 +165,7 @@ def main():
         del params
         return t
 
-    t_int8_full = None
+    measured = {}  # label -> seconds / 28-step scan (TRUE full-depth model)
     if on_tpu:
         for qkey, label in [("q", "int8 weight-only"), ("q_w8a8", "W8A8")]:
             try:
@@ -173,10 +173,79 @@ def main():
                 log(f"{label} full depth (19 dual, 38 single): {t:.3f}s / "
                     f"{steps}-step scan ({t / steps * 1000:.1f} ms/step) "
                     f"=> {1.0 / t:.4f} img/s/chip MEASURED full model")
-                if qkey == "q":
-                    t_int8_full = t
+                measured[label] = t
             except Exception as e:
                 log(f"{label} full-depth run failed ({type(e).__name__}): {str(e)[:200]}")
+
+    def _train_step_bench():
+        """Measured fwd+bwd train-step time + MFU at full FLUX width, 1024^2
+        bs=1, remat (VERDICT r1 #9). Depth-scaled like inference; reports the
+        measured depth AND the full-depth linear extrapolation."""
+        import optax
+
+        nd, ns = 2, 4
+        cfg = dataclasses.replace(
+            FluxConfig(), num_layers=nd, num_single_layers=ns, remat=True
+        )
+        abstract = jax.eval_shape(
+            lambda k: init_flux(k, cfg, jnp.bfloat16), jax.random.key(0)
+        )
+        params = jax.tree_util.tree_map(
+            lambda s: jnp.full(s.shape, 0.01, s.dtype), abstract
+        )
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        from gpt_image_edit_tpu.models.flux import apply_flux
+
+        s_tgt = (h // 2) * (w // 2)
+        rng = np.random.default_rng(0)
+        latents = jnp.asarray(
+            rng.standard_normal((b, 2 * s_tgt, cfg.in_channels)), jnp.bfloat16
+        )
+        ids = jnp.concatenate(
+            [latent_image_ids(h // 2, w // 2, 0), latent_image_ids(h // 2, w // 2, 1)],
+            axis=0,
+        )
+        embeds = jnp.zeros((b, s_txt, cfg.joint_attention_dim), jnp.bfloat16)
+        pooled = jnp.zeros((b, cfg.pooled_projection_dim), jnp.bfloat16)
+        target = jnp.zeros((b, 2 * s_tgt, cfg.out_channels), jnp.float32)
+        tx = optax.adamw(1e-6)
+        opt = tx.init(params)
+
+        def loss_fn(p, lat):
+            pred = apply_flux(
+                p, cfg, hidden_states=lat, encoder_hidden_states=embeds,
+                pooled_projections=pooled,
+                timestep=jnp.full((b,), 0.5, jnp.float32),
+                img_ids=ids, guidance=jnp.full((b,), 3.5, jnp.float32),
+            )
+            return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+
+        @jax.jit
+        def train_step(p, opt, lat):
+            loss, grads = jax.value_and_grad(loss_fn)(p, lat)
+            updates, opt = tx.update(grads, opt, p)
+            return optax.apply_updates(p, updates), opt, loss
+
+        params, opt, loss = train_step(params, opt, latents)
+        float(loss)  # compile + sync
+        t0 = time.perf_counter()
+        reps_t = 3
+        for _ in range(reps_t):
+            params, opt, loss = train_step(params, opt, latents)
+        float(loss)
+        dt = (time.perf_counter() - t0) / reps_t
+        # fwd+bwd ~= 3x forward matmul FLOPs (remat adds ~1 more forward
+        # through the blocks -> use 4x for the remat path), tokens = 8704
+        flops = 4 * 2 * n_params * (2 * s_tgt + s_txt) * b
+        mfu = flops / dt / 197e12
+        # full-depth extrapolation via per-block inference cost ratio
+        t_full_est = dt * (19 + 2 * 38) / (nd + 2 * ns)
+        return {
+            "train_step_ms_depth_2_4": round(dt * 1000, 1),
+            "train_mfu_depth_2_4": round(mfu, 3),
+            "train_step_s_full_depth_est": round(t_full_est, 2),
+            "params_bench": n_params,
+        }
 
     # least-squares fit t = a*nd + b*ns + c
     A = np.array([[nd, ns, 1.0] for nd, ns, _ in rows])
@@ -189,12 +258,37 @@ def main():
         f"const {coef[2]*1000:.1f} ms -> full ({full_dual}+{full_single}) "
         f"scan {t_full:.2f}s => {imgs_per_sec:.4f} img/s/chip")
 
+    # Train-step throughput row (fwd+bwd+optimizer, remat, full width):
+    # tracked round-over-round on stderr; headline JSON stays single-line.
+    if on_tpu:
+        try:
+            train_row = _train_step_bench()
+            log("train: " + json.dumps(train_row))
+        except Exception as e:
+            log(f"train bench failed ({type(e).__name__}): {str(e)[:200]}")
+
+    # Headline = the BEST MEASURED full-model serving configuration (the
+    # `--quantize w8a8` product mode); the bf16 extrapolation is the
+    # secondary cross-check above. Falls back to the fit when the measured
+    # runs were unavailable (e.g. CPU smoke).
     baseline_per_chip = 0.25  # 2 img/s on 8 chips (BASELINE.json)
+    if measured:
+        label, t_best = min(measured.items(), key=lambda kv: kv[1])
+        value = b / t_best
+        metric = (
+            f"1024x1024 28-step FLUX-Kontext edits/sec/chip "
+            f"(MEASURED full 19+38-block model, {label} serving mode; "
+            f"bf16 extrapolation {imgs_per_sec:.4f})"
+        )
+    else:
+        value = imgs_per_sec
+        metric = ("1024x1024 28-step FLUX-Kontext edits/sec/chip "
+                  "(full-depth extrapolated from depth-scaled timings)")
     print(json.dumps({
-        "metric": "1024x1024 28-step FLUX-Kontext edits/sec/chip (full-depth extrapolated from depth-scaled timings)",
-        "value": round(imgs_per_sec, 5),
+        "metric": metric,
+        "value": round(value, 5),
         "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec / baseline_per_chip, 4),
+        "vs_baseline": round(value / baseline_per_chip, 4),
     }))
 
 

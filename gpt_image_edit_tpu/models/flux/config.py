@@ -30,6 +30,9 @@ class FluxConfig:
     # jax.remat on each block body (the reference's gradient_checkpointing,
     # ref:train_denoiser.py:484-486)
     remat: bool = False
+    # attention dispatch: "auto" | "xla" | "pallas" | "pallas_int8"
+    # (pallas_int8 = inference-only int8-MXU kernel for W8A8 serving)
+    attention_impl: str = "auto"
 
     @property
     def inner_dim(self) -> int:

@@ -189,7 +189,7 @@ def _joint_attention(
     q = apply_rope_paired(q.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
     k = apply_rope_paired(k.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
 
-    out = dot_product_attention(q, k, v, pad_mask=pad_mask)
+    out = dot_product_attention(q, k, v, pad_mask=pad_mask, impl=cfg.attention_impl)
     out = out.reshape(b, s_txt + s_img, d)
     txt_out, img_out = out[:, :s_txt], out[:, s_txt:]
     return linear(p["to_out"], img_out), linear(p["to_add_out"], txt_out)
@@ -256,7 +256,9 @@ def _single_block(
     v = heads(linear(p["attn"]["to_v"], x_mod))
     q = apply_rope_paired(q.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
     k = apply_rope_paired(k.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
-    attn = dot_product_attention(q, k, v, pad_mask=pad_mask).reshape(b, s, d)
+    attn = dot_product_attention(
+        q, k, v, pad_mask=pad_mask, impl=cfg.attention_impl
+    ).reshape(b, s, d)
 
     out = linear(p["proj_out"], jnp.concatenate([attn, mlp], axis=-1))
     return x + gate[:, None, :] * out

@@ -102,6 +102,24 @@ def dot_product_attention(
             scale=scale,
         )
 
+    if impl == "pallas_int8":
+        # inference-only int8-MXU fast path (serving --quantize w8a8 mode)
+        from gpt_image_edit_tpu.ops.pallas.flash_attention import (
+            flash_attention_int8,
+        )
+
+        return flash_attention_int8(
+            q,
+            k,
+            v,
+            causal=causal,
+            q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids,
+            pad_mask=pad_mask,
+            scale=scale,
+            interpret=jax.devices()[0].platform != "tpu",
+        )
+
     # --- XLA path ---
     if hq != hkv:
         assert hq % hkv == 0, f"GQA requires Hq % Hkv == 0, got {hq}, {hkv}"

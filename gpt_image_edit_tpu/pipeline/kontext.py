@@ -46,7 +46,7 @@ def pick_kontext_resolution(width: int, height: int) -> Tuple[int, int]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("flux_cfg", "true_cfg_scale", "num_steps"),
+    static_argnames=("flux_cfg", "true_cfg_scale", "num_steps", "step_callback"),
 )
 def denoise_scan(
     flux_params,
@@ -64,6 +64,7 @@ def denoise_scan(
     neg_pooled_embeds: Optional[jnp.ndarray] = None,
     true_cfg_scale: float = 1.0,
     txt_pad_mask: Optional[jnp.ndarray] = None,  # (B, S_txt)
+    step_callback=None,  # host fn(step_idx) via jax.debug.callback (UI progress)
 ) -> jnp.ndarray:
     """28-step (or N-step) Euler flow-matching loop as one lax.scan.
 
@@ -108,8 +109,12 @@ def denoise_scan(
         )
         return pred[:, :s_target]
 
-    def step(lat, sig_pair):
+    def step(lat, xs):
+        sig_pair, step_idx = xs
         sigma, sigma_next = sig_pair[0], sig_pair[1]
+        if step_callback is not None:
+            # per-step host progress (ref:app.py:308-313 callback_on_step_end)
+            jax.debug.callback(step_callback, step_idx, ordered=True)
         lat_in = lat
         if image_latents is not None:
             lat_in = jnp.concatenate([lat, image_latents.astype(lat.dtype)], axis=1)
@@ -125,7 +130,9 @@ def denoise_scan(
         return lat, None
 
     sig_pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)
-    latents, _ = jax.lax.scan(step, latents, sig_pairs)
+    latents, _ = jax.lax.scan(
+        step, latents, (sig_pairs, jnp.arange(num_steps, dtype=jnp.int32))
+    )
     return latents
 
 
@@ -209,6 +216,7 @@ class KontextPipeline:
         latents: Optional[jnp.ndarray] = None,
         output_type: str = "pixels",
         txt_pad_mask: Optional[jnp.ndarray] = None,
+        step_callback=None,
     ) -> jnp.ndarray:
         b = prompt_embeds.shape[0]
         down = self.vae_cfg.downscale
@@ -251,6 +259,7 @@ class KontextPipeline:
             neg_pooled_embeds=negative_pooled_prompt_embeds,
             true_cfg_scale=true_cfg_scale,
             txt_pad_mask=txt_pad_mask,
+            step_callback=step_callback,
         )
         if output_type == "latent":
             return final

@@ -59,7 +59,8 @@ class UnivaRuntime:
         *,
         tiny: bool = False,
         seed: int = 0,
-        quantize: Optional[str] = None,  # "int8" weight-only (the NF4 analogue)
+        quantize: Optional[str] = None,  # "int8" weight-only | "w8a8" int8-MXU
+        joint_with_t5: bool = True,      # concat T5 after LVLM embeds (ref default)
     ):
         self.prompter = Qwen2VLPrompter()
         self.history_images: List[Image.Image] = []
@@ -93,14 +94,24 @@ class UnivaRuntime:
             self.tokenizer = load_tokenizer(model_path)
             self.vit_pixels = 200704
 
-        if quantize in ("int8", "w8a8"):
+        if quantize in ("int8", "w8a8", "w8a8-attn"):
             from gpt_image_edit_tpu.utils.quantize import quantize_params
 
-            mode = "w8a8" if quantize == "w8a8" else "weight_only"
+            mode = "weight_only" if quantize == "int8" else "w8a8"
             log.info("quantizing FLUX weights to int8 (%s)", mode)
             flux_params = quantize_params(flux_params, mode=mode)
+            if quantize == "w8a8-attn":
+                # EXPERIMENTAL: int8 Pallas attention kernel. Measured
+                # SLOWER than the bf16 kernel on v5e (1174 vs 1049 ms/step
+                # full model: the kernel is exp/VPU-bound, not MXU-bound),
+                # kept for hardware where int8 MXU headroom dominates.
+                self.fcfg = dataclasses.replace(
+                    self.fcfg, attention_impl="pallas_int8"
+                )
         elif quantize:
-            raise ValueError(f"unknown quantize mode {quantize!r} (int8 | w8a8)")
+            raise ValueError(
+                f"unknown quantize mode {quantize!r} (int8 | w8a8 | w8a8-attn)"
+            )
 
         # generate-vs-understand routing head (ref:cli.py:42-49), if shipped
         self.task_head = None
@@ -117,11 +128,40 @@ class UnivaRuntime:
         self.pipe = KontextPipeline(flux_params, self.fcfg, vae_params, self.vcfg)
         self.rng = jax.random.key(seed)
 
+        # FLUX text encoders for real CLIP pooled embeds (+ optional T5
+        # concat) — the reference always loads these for serving
+        # (ref:univa/serve/cli.py:121,220-233). Lazy container: T5-XXL only
+        # materializes if joint_with_t5 is used.
+        self.joint_with_t5 = joint_with_t5
+        self.text_encoders = None
+        enc_dir = flux_path or model_path
+        if enc_dir and not tiny:
+            import os
+
+            if os.path.isdir(os.path.join(enc_dir, "text_encoder")):
+                self.load_text_encoders(enc_dir)
+                log.info("FLUX text encoders available at %s", enc_dir)
+            else:
+                log.warning(
+                    "no text_encoder/ under %s: pooled embeds fall back to "
+                    "zeros (DIVERGES from the reference serving path)", enc_dir
+                )
+
     # ------------------------------------------------------------------
-    def _encode_prompt(self, conversation, images: List[Image.Image]):
-        """ChatML + <image> expansion -> LVLM denoise_embeds."""
+    def _prepare_inputs(
+        self,
+        conversation,
+        images: List[Image.Image],
+        *,
+        gen_trigger: bool = False,
+    ):
+        """ONE prompt-preprocessing path for encode/route/answer (the
+        reference builds these identically through its processor,
+        ref:cli.py:185-196): ChatML render, <image> -> begin + N pads + end
+        expansion, tokenize, M-RoPE ids. Returns (model_kwargs, rope_deltas)."""
         prompt = self.prompter(conversation, add_generation_prompt=True)
-        prompt += C.SPECIAL_TOKENS["image_begin_token"]  # generation trigger
+        if gen_trigger:
+            prompt += C.SPECIAL_TOKENS["image_begin_token"]
 
         patches, grids = [], []
         for img in images:
@@ -142,11 +182,12 @@ class UnivaRuntime:
                 + C.SPECIAL_TOKENS["image_end_token"]
             )
             prompt = prompt.replace("<image>", expansion, 1)
+        assert "<image>" not in prompt, "more <image> placeholders than images"
 
         input_ids = np.asarray([self.tokenizer.encode(prompt)], dtype=np.int64)
         attn = np.ones_like(input_ids)
         grid_thw = np.asarray(grids, dtype=np.int64) if grids else None
-        pos, _ = get_rope_index(
+        pos, deltas = get_rope_index(
             input_ids, grid_thw, attn,
             spatial_merge_size=self.qcfg.vision.spatial_merge_size,
             image_token_id=self.qcfg.image_token_id,
@@ -161,8 +202,26 @@ class UnivaRuntime:
         if patches:
             kwargs["pixel_patches"] = jnp.asarray(np.concatenate(patches, 0))
             kwargs["vision_aux"] = vision.vision_precompute(grid_thw, self.qcfg.vision)
-        embeds = apply_qwen(self.qwen_params, self.qcfg, output_type="denoise_embeds", **kwargs)
+        return kwargs, deltas
+
+    def _encode_prompt(self, conversation, images: List[Image.Image]):
+        """ChatML + <image> expansion -> LVLM denoise_embeds."""
+        kwargs, _ = self._prepare_inputs(conversation, images, gen_trigger=True)
+        embeds = apply_qwen(
+            self.qwen_params, self.qcfg, output_type="denoise_embeds", **kwargs
+        )
         return embeds, kwargs
+
+    def _text_cond(self, text: str):
+        """(t5_embeds | None, pooled (1, D)) for the pipeline. The reference
+        ALWAYS feeds real CLIP pooled embeds of the instruction (or '' in the
+        no-T5 ablation) and concatenates T5 embeds after the LVLM rows
+        (ref:univa/serve/cli.py:220-233); zeros only in tiny demo mode."""
+        if self.text_encoders is not None:
+            text = text if self.joint_with_t5 else ""
+            t5, pooled = self.text_encoders.encode_prompt([text], 256)
+            return (t5 if self.joint_with_t5 else None), pooled
+        return None, jnp.zeros((1, self.fcfg.pooled_projection_dim), jnp.bfloat16)
 
     # ------------------------------------------------------------------
     def edit(
@@ -172,9 +231,12 @@ class UnivaRuntime:
         *,
         steps: int = 28,
         guidance: float = 3.5,
+        true_cfg_scale: float = 1.0,
+        negative_prompt: str = "Generate an image.",
         height: Optional[int] = None,
         width: Optional[int] = None,
         seed: Optional[int] = None,
+        step_callback=None,  # host fn(step_idx): UI progress (ref:app.py:308-313)
     ) -> Image.Image:
         images = (
             list(image) if isinstance(image, (list, tuple))
@@ -183,6 +245,27 @@ class UnivaRuntime:
         value = "<image>" * len(images) + instruction
         conversation = [{"from": "user", "value": value}]
         embeds, _ = self._encode_prompt(conversation, images)
+
+        # real CLIP pooled row + optional T5 suffix (ref:cli.py:220-233)
+        t5_embeds, pooled = self._text_cond(instruction)
+        if t5_embeds is not None:
+            embeds = jnp.concatenate(
+                [embeds, t5_embeds.astype(embeds.dtype)], axis=1
+            )
+
+        neg_embeds = neg_pooled = None
+        if true_cfg_scale > 1.0:
+            # true-CFG negative branch: the hardcoded unconditional prompt
+            # (ref:train_denoiser.py:1458-1468, flux_pipeline true_cfg)
+            neg_convo = [{"from": "user", "value": negative_prompt}]
+            neg_embeds, _ = self._encode_prompt(neg_convo, [])
+            neg_t5, neg_pooled = self._text_cond(negative_prompt)
+            if neg_t5 is not None:
+                neg_embeds = jnp.concatenate(
+                    [neg_embeds, neg_t5.astype(neg_embeds.dtype)], axis=1
+                )
+            neg_embeds = neg_embeds.astype(jnp.bfloat16)
+            neg_pooled = neg_pooled.astype(jnp.bfloat16)
 
         first = images[0] if images else None
         if height is None or width is None:
@@ -204,15 +287,17 @@ class UnivaRuntime:
         self.rng, sample_rng = jax.random.split(rng)
         out = self.pipe(
             prompt_embeds=embeds.astype(jnp.bfloat16),
-            pooled_prompt_embeds=jnp.zeros(
-                (1, self.fcfg.pooled_projection_dim), jnp.bfloat16
-            ),
+            pooled_prompt_embeds=pooled.astype(jnp.bfloat16),
             image=cond,
             height=height,
             width=width,
             num_inference_steps=steps,
             guidance_scale=guidance,
+            true_cfg_scale=true_cfg_scale,
+            negative_prompt_embeds=neg_embeds,
+            negative_pooled_prompt_embeds=neg_pooled,
             rng=sample_rng,
+            step_callback=step_callback,
         )
         arr = postprocess_to_uint8(out)[0]
         return Image.fromarray(arr)
@@ -227,48 +312,10 @@ class UnivaRuntime:
 
         value = ("<image>" if image is not None else "") + message
         conversation = [{"from": "user", "value": value}]
-        # reuse the prompt encoder but take LM hidden states
-        prompt = self.prompter(conversation, add_generation_prompt=True)
         images = [image] if image is not None else []
-        patches, grids = [], []
-        for img in images:
-            flat, grid = preprocess_vit_patches(
-                img,
-                patch_size=self.qcfg.vision.patch_size,
-                merge_size=self.qcfg.vision.spatial_merge_size,
-                min_pixels=self.vit_pixels,
-                max_pixels=self.vit_pixels,
-            )
-            patches.append(flat)
-            grids.append(grid)
-            n = int(np.prod(grid)) // self.qcfg.vision.merge_unit
-            prompt = prompt.replace(
-                "<image>",
-                C.SPECIAL_TOKENS["image_begin_token"]
-                + C.SPECIAL_TOKENS["image_token"] * n
-                + C.SPECIAL_TOKENS["image_end_token"],
-                1,
-            )
-        input_ids = np.asarray([self.tokenizer.encode(prompt)], dtype=np.int64)
-        attn = np.ones_like(input_ids)
-        grid_thw = np.asarray(grids, dtype=np.int64) if grids else None
-        pos, _ = get_rope_index(
-            input_ids, grid_thw, attn,
-            spatial_merge_size=self.qcfg.vision.spatial_merge_size,
-            image_token_id=self.qcfg.image_token_id,
-            video_token_id=self.qcfg.video_token_id,
-            vision_start_token_id=self.qcfg.vision_start_token_id,
-        )
-        kwargs = dict(
-            input_ids=jnp.asarray(input_ids),
-            position_ids=jnp.asarray(pos),
-            attention_mask=jnp.asarray(attn),
-        )
-        if patches:
-            kwargs["pixel_patches"] = jnp.asarray(np.concatenate(patches, 0))
-            kwargs["vision_aux"] = vision.vision_precompute(grid_thw, self.qcfg.vision)
+        kwargs, _ = self._prepare_inputs(conversation, images)
         hidden = apply_qwen(self.qwen_params, self.qcfg, output_type="hidden", **kwargs)
-        return bool(_route(self.task_head, hidden, input_ids)[0])
+        return bool(_route(self.task_head, hidden, np.asarray(kwargs["input_ids"]))[0])
 
     def chat(self, message: str, image: Optional[Image.Image] = None, **kw):
         """One chat turn with automatic routing: returns (PIL image, None) or
@@ -276,6 +323,113 @@ class UnivaRuntime:
         if self.route(message, image):
             return self.edit(message, image, **kw), None
         return None, self.answer(message, image)
+
+    # ------------------------------------------------------------------
+    # multi-turn chat with history-image conditioning (ref:app.py:222-330,
+    # ref:cli.py:141-254: every turn re-encodes the FULL conversation and
+    # conditions generation on ALL history images, generated ones included)
+    def reset_chat(self):
+        self.conversation: List[dict] = []
+        self.history_images = []
+
+    def chat_turn(
+        self,
+        message: str,
+        new_images: Optional[List[Image.Image]] = None,
+        *,
+        force_generate: Optional[bool] = None,
+        ocr_enhancer: bool = False,
+        **edit_kw,
+    ):
+        """One stateful chat turn. Returns (PIL image | None, text | None);
+        the generated image joins the history as conditioning for later
+        turns (ref:cli.py:249-254 history_image_paths.append)."""
+        if not hasattr(self, "conversation"):
+            self.reset_chat()
+        new_images = list(new_images or [])
+        text = message
+        if ocr_enhancer and new_images:
+            # OCR phrases appended to the user text (ref:app.py:236-244)
+            from gpt_image_edit_tpu.utils.ocr import ocr_phrases_for_image
+
+            phrases = [
+                p for i, img in enumerate(new_images)
+                if (p := ocr_phrases_for_image(img, len(self.history_images) + i))
+            ]
+            if phrases:
+                text = text + "\n" + "\n".join(phrases)
+        self.conversation.append(
+            {"from": "user", "value": text + "<image>" * len(new_images)}
+        )
+        self.history_images.extend(new_images)
+
+        # route on the full conversation (ref:app.py:264-277 + overrides)
+        if force_generate is None:
+            if self.task_head is None:
+                generate = bool(self.history_images)
+            else:
+                from gpt_image_edit_tpu.serve.task_head import route as _route
+
+                kwargs, _ = self._prepare_inputs(self.conversation, self.history_images)
+                hidden = apply_qwen(
+                    self.qwen_params, self.qcfg, output_type="hidden", **kwargs
+                )
+                generate = bool(
+                    _route(self.task_head, hidden, np.asarray(kwargs["input_ids"]))[0]
+                )
+        else:
+            generate = force_generate
+
+        if generate:
+            embeds, _ = self._encode_prompt(self.conversation, self.history_images)
+            t5_embeds, pooled = self._text_cond(message)
+            if t5_embeds is not None:
+                embeds = jnp.concatenate([embeds, t5_embeds.astype(embeds.dtype)], axis=1)
+            first = self.history_images[0] if self.history_images else None
+            height, width = update_size(first)
+            if self.vcfg.downscale != 8:
+                height = width = 8 * self.vcfg.downscale
+            conds = []
+            for im in self.history_images:
+                bw, bh = pick_kontext_resolution(im.width, im.height)
+                if self.vcfg.downscale != 8:
+                    bw = bh = height
+                conds.append(jnp.asarray(preprocess_vae_image(im, bh, bw))[None])
+            cond = conds if len(conds) > 1 else (conds[0] if conds else None)
+            seed = edit_kw.pop("seed", None)
+            rng = jax.random.key(seed) if seed is not None else self.rng
+            self.rng, sample_rng = jax.random.split(rng)
+            out = self.pipe(
+                prompt_embeds=embeds.astype(jnp.bfloat16),
+                pooled_prompt_embeds=pooled.astype(jnp.bfloat16),
+                image=cond,
+                height=height, width=width,
+                num_inference_steps=edit_kw.pop("steps", 28),
+                guidance_scale=edit_kw.pop("guidance", 3.5),
+                rng=sample_rng,
+                **edit_kw,
+            )
+            img = Image.fromarray(postprocess_to_uint8(out)[0])
+            self.conversation.append({"from": "assistant", "value": "<image>"})
+            self.history_images.append(img)
+            return img, None
+
+        kwargs, deltas = self._prepare_inputs(self.conversation, self.history_images)
+        from gpt_image_edit_tpu.models.qwen2p5vl.model import generate_greedy
+
+        out_tokens = generate_greedy(
+            self.qwen_params, self.qcfg,
+            rope_delta=int(deltas[0, 0]),
+            max_new_tokens=edit_kw.pop("max_new_tokens", 128),
+            eos_token_id=getattr(self.tokenizer, "eos_token_id", C.IM_END_ID),
+            **kwargs,
+        )
+        if hasattr(self.tokenizer, "decode"):
+            answer = self.tokenizer.decode(out_tokens, skip_special_tokens=True)
+        else:
+            answer = " ".join(map(str, out_tokens))
+        self.conversation.append({"from": "assistant", "value": answer})
+        return None, answer
 
     # ------------------------------------------------------------------
     def load_text_encoders(self, flux_ckpt_dir: str):
@@ -333,51 +487,13 @@ class UnivaRuntime:
         images = [image] if image is not None else []
         value = ("<image>" if image is not None else "") + question
         conversation = [{"from": "user", "value": value}]
-        prompt = self.prompter(conversation, add_generation_prompt=True)
-
-        patches, grids = [], []
-        for img in images:
-            flat, grid = preprocess_vit_patches(
-                img,
-                patch_size=self.qcfg.vision.patch_size,
-                merge_size=self.qcfg.vision.spatial_merge_size,
-                min_pixels=self.vit_pixels,
-                max_pixels=self.vit_pixels,
-            )
-            patches.append(flat)
-            grids.append(grid)
-            n = int(np.prod(grid)) // self.qcfg.vision.merge_unit
-            expansion = (
-                C.SPECIAL_TOKENS["image_begin_token"]
-                + C.SPECIAL_TOKENS["image_token"] * n
-                + C.SPECIAL_TOKENS["image_end_token"]
-            )
-            prompt = prompt.replace("<image>", expansion, 1)
+        kwargs, deltas = self._prepare_inputs(conversation, images)
 
         from gpt_image_edit_tpu.models.qwen2p5vl.model import generate_greedy
 
-        input_ids = np.asarray([self.tokenizer.encode(prompt)], dtype=np.int64)
-        attn = np.ones_like(input_ids)
-        grid_thw = np.asarray(grids, dtype=np.int64) if grids else None
-        pos, deltas = get_rope_index(
-            input_ids, grid_thw, attn,
-            spatial_merge_size=self.qcfg.vision.spatial_merge_size,
-            image_token_id=self.qcfg.image_token_id,
-            video_token_id=self.qcfg.video_token_id,
-            vision_start_token_id=self.qcfg.vision_start_token_id,
-        )
-        kwargs = {}
-        if patches:
-            kwargs = dict(
-                pixel_patches=jnp.asarray(np.concatenate(patches, 0)),
-                vision_aux=vision.vision_precompute(grid_thw, self.qcfg.vision),
-            )
         out_tokens = generate_greedy(
             self.qwen_params, self.qcfg,
-            input_ids=jnp.asarray(input_ids),
-            position_ids=jnp.asarray(pos),
             rope_delta=int(deltas[0, 0]),
-            attention_mask=jnp.asarray(attn),
             max_new_tokens=max_new_tokens,
             eos_token_id=getattr(self.tokenizer, "eos_token_id", C.IM_END_ID),
             **kwargs,

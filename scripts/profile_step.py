@@ -83,15 +83,18 @@ def main():
     from gpt_image_edit_tpu.models.flux import FluxConfig, apply_flux, init_flux
     from gpt_image_edit_tpu.ops.packing import latent_image_ids
 
-    cfg = dataclasses.replace(FluxConfig(), num_layers=nd, num_single_layers=ns)
+    attn_impl = "pallas_int8" if mode == "w8a8a" else "auto"
+    cfg = dataclasses.replace(
+        FluxConfig(), num_layers=nd, num_single_layers=ns, attention_impl=attn_impl
+    )
     abstract = jax.eval_shape(lambda k: init_flux(k, cfg, jnp.bfloat16), jax.random.key(0))
     flat, _ = jax.tree_util.tree_flatten_with_path(abstract)
     leaves = []
     for kp, s in flat:
         path = "/".join(str(getattr(k, "key", k)) for k in kp)
         big = path.endswith("kernel") and len(s.shape) >= 2 and np.prod(s.shape) >= 1 << 22
-        if big and mode in ("w8a8", "int8"):
-            qkey = "q_w8a8" if mode == "w8a8" else "q"
+        if big and mode in ("w8a8", "w8a8a", "int8"):
+            qkey = "q" if mode == "int8" else "q_w8a8"
             leaves.append({
                 qkey: jnp.ones(s.shape, jnp.int8),
                 "scale": jnp.full(s.shape[:-2] + (1, s.shape[-1]), 0.01, jnp.float32),

@@ -96,3 +96,58 @@ class TestFlashAttention:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), atol=3e-3, err_msg=f"d{name} ({case})"
             )
+
+
+class TestFlashAttentionInt8:
+    """int8-MXU serving kernel (opt-in fast-serving mode, analogous to the
+    reference's 4-bit NF4 serving). Gaussian q/k/v with flat attention is the
+    worst case for int8 logits — the tiny-FLUX end-to-end test below measures
+    the realistic impact."""
+
+    def _rel_err(self, q, k, v, **kw):
+        from gpt_image_edit_tpu.ops.pallas.flash_attention import (
+            flash_attention_int8,
+        )
+
+        ours = flash_attention_int8(
+            q, k, v, interpret=True, block_q=128, block_kv=128, **kw
+        )
+        ref = dot_product_attention(q, k, v, impl="xla", **kw)
+        num = np.linalg.norm(np.asarray(ours, np.float32) - np.asarray(ref, np.float32))
+        return num / np.linalg.norm(np.asarray(ref, np.float32))
+
+    def test_full(self):
+        b, s, h, d = 1, 256, 2, 64
+        err = self._rel_err(
+            _rand((b, s, h, d), 0), _rand((b, s, h, d), 1), _rand((b, s, h, d), 2)
+        )
+        assert err < 0.025, err
+
+    def test_multi_kv_blocks(self):
+        b, s, h, d = 1, 512, 2, 64
+        err = self._rel_err(
+            _rand((b, s, h, d), 3), _rand((b, s, h, d), 4), _rand((b, s, h, d), 5)
+        )
+        assert err < 0.025, err
+
+    def test_padding_mask(self):
+        b, s, h, d = 2, 256, 2, 64
+        q, k, v = (_rand((b, s, h, d), i) for i in range(3))
+        pad = jnp.asarray(np.ones((b, s), bool)).at[:, -64:].set(False)
+        err = self._rel_err(q, k, v, pad_mask=pad)
+        assert err < 0.025, err
+
+    def test_gqa(self):
+        b, s, d = 1, 256, 64
+        err = self._rel_err(
+            _rand((b, s, 4, d), 0), _rand((b, s, 2, d), 1), _rand((b, s, 2, d), 2)
+        )
+        assert err < 0.025, err
+
+    def test_causal(self):
+        b, s, h, d = 1, 256, 2, 64
+        err = self._rel_err(
+            _rand((b, s, h, d), 0), _rand((b, s, h, d), 1), _rand((b, s, h, d), 2),
+            causal=True,
+        )
+        assert err < 0.025, err

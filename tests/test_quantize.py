@@ -82,3 +82,38 @@ class TestQuantize:
         o2 = apply_flux(qp, cfg, **kw)
         rel = float(jnp.linalg.norm(o1 - o2) / jnp.linalg.norm(o1))
         assert rel < 0.05, rel
+
+    def test_w8a8_int8_attention_tiny_flux(self):
+        """Full int8-MXU serving mode: W8A8 linears + int8 flash attention.
+        End-to-end output must stay within a few percent of the fp32 model
+        (sequence sized to the kernel's block alignment)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from gpt_image_edit_tpu.models.flux import FluxConfig, apply_flux, init_flux
+        from gpt_image_edit_tpu.ops.packing import latent_image_ids
+        from gpt_image_edit_tpu.utils.quantize import quantize_params
+
+        cfg = dataclasses.replace(
+            FluxConfig.tiny(), attention_head_dim=64, num_attention_heads=2,
+            axes_dims_rope=(16, 24, 24),
+        )
+        params = init_flux(jax.random.key(0), cfg)
+        qp = quantize_params(params, min_size=1024, mode="w8a8")
+        s_img, s_txt = 192, 64  # 256 total = one 256-block
+        kw = dict(
+            hidden_states=jax.random.normal(jax.random.key(1), (1, s_img, cfg.in_channels)),
+            encoder_hidden_states=jax.random.normal(
+                jax.random.key(2), (1, s_txt, cfg.joint_attention_dim)
+            ),
+            pooled_projections=jnp.zeros((1, cfg.pooled_projection_dim)),
+            timestep=jnp.full((1,), 0.4),
+            img_ids=latent_image_ids(12, 16),
+            guidance=jnp.full((1,), 3.5),
+        )
+        ref = apply_flux(params, cfg, **kw)
+        cfg_i8 = dataclasses.replace(cfg, attention_impl="pallas_int8")
+        out = apply_flux(qp, cfg_i8, **kw)
+        rel = float(jnp.linalg.norm(ref - out) / jnp.linalg.norm(ref))
+        assert rel < 0.06, rel

@@ -1,0 +1,60 @@
+"""Multi-turn serving chat with history-image conditioning
+(ref:app.py:222-330, ref:univa/serve/cli.py:141-254) on the tiny runtime."""
+
+import numpy as np
+from PIL import Image
+
+from gpt_image_edit_tpu.serve.runtime import UnivaRuntime
+
+
+def _img(seed, size=32):
+    rng = np.random.default_rng(seed)
+    return Image.fromarray(rng.integers(0, 256, (size, size, 3), dtype=np.uint8))
+
+
+class TestChatTurn:
+    def test_two_turn_edit_chat(self):
+        rt = UnivaRuntime(tiny=True)
+        rt.reset_chat()
+
+        # turn 1: edit with one input image
+        img1, txt1 = rt.chat_turn(
+            "make the sky dramatic", [_img(0)],
+            force_generate=True, steps=2, seed=0,
+        )
+        assert img1 is not None and txt1 is None
+        assert len(rt.history_images) == 2  # input + generated
+        assert rt.conversation[-1] == {"from": "assistant", "value": "<image>"}
+
+        # turn 2: follow-up edit; the turn-1 OUTPUT conditions this one
+        img2, txt2 = rt.chat_turn(
+            "now add a rainbow", [], force_generate=True, steps=2, seed=1,
+        )
+        assert img2 is not None
+        assert len(rt.history_images) == 3
+        assert len(rt.conversation) == 4  # 2 user + 2 assistant turns
+
+    def test_understanding_turn_appends_text(self):
+        rt = UnivaRuntime(tiny=True)
+        rt.reset_chat()
+        img, txt = rt.chat_turn("what is in this image?", [_img(1)],
+                                force_generate=False, max_new_tokens=4)
+        assert img is None and isinstance(txt, str)
+        assert rt.conversation[-1]["from"] == "assistant"
+
+    def test_step_callback_fires(self):
+        rt = UnivaRuntime(tiny=True)
+        rt.reset_chat()
+        seen = []
+        rt.chat_turn(
+            "edit", [_img(2)], force_generate=True, steps=3, seed=0,
+            step_callback=lambda i: seen.append(int(i)),
+        )
+        assert sorted(seen) == [0, 1, 2]
+
+    def test_reset(self):
+        rt = UnivaRuntime(tiny=True)
+        rt.reset_chat()
+        rt.chat_turn("edit", [_img(3)], force_generate=True, steps=2, seed=0)
+        rt.reset_chat()
+        assert rt.conversation == [] and rt.history_images == []
