@@ -1,9 +1,13 @@
-"""CLIP-L text encoder (pooled embeds for FLUX), functional JAX.
+"""CLIP text encoders (CLIP-L for FLUX, CLIP-L/G-with-projection for SD3),
+functional JAX.
 
-Parity target: the CLIPTextModel loaded from the FLUX checkpoint
-(ref:train_denoiser.py:408-426,
-ref:univa/utils/denoiser_prompt_embedding_flux.py:61-104 — the reference uses
-`pooled_output` = final-LN hidden state at the EOS position)."""
+Parity targets:
+- CLIPTextModel from the FLUX checkpoint (ref:train_denoiser.py:408-426,
+  ref:univa/utils/denoiser_prompt_embedding_flux.py:61-104 — `pooled_output`
+  = final-LN hidden state at the EOS position)
+- CLIPTextModelWithProjection pairs from an SD3 checkpoint
+  (ref:univa/utils/denoiser_prompt_embedding.py:38-76: sequence embeds =
+  PENULTIMATE layer hidden states, pooled = text_projection(eos hidden))."""
 
 from __future__ import annotations
 
@@ -33,11 +37,24 @@ class ClipTextConfig:
     max_position_embeddings: int = 77
     eos_token_id: int = 49407
     ln_eps: float = 1e-5
+    hidden_act: str = "quick_gelu"          # "gelu" for OpenCLIP bigG (SD3)
+    projection_dim: Optional[int] = None    # text_projection (SD3 encoders)
 
     @classmethod
     def tiny(cls) -> "ClipTextConfig":
         return cls(vocab_size=512, hidden_size=32, num_layers=2, num_heads=2,
                    intermediate_size=64, max_position_embeddings=16, eos_token_id=511)
+
+    @classmethod
+    def sd3_clip_l(cls) -> "ClipTextConfig":
+        return cls(projection_dim=768)
+
+    @classmethod
+    def sd3_clip_g(cls) -> "ClipTextConfig":
+        # OpenCLIP bigG-14 text tower (SD3 text_encoder_2)
+        return cls(hidden_size=1280, num_layers=32, num_heads=20,
+                   intermediate_size=5120, hidden_act="gelu",
+                   projection_dim=1280)
 
 
 def _layer_init(rng, cfg: ClipTextConfig) -> Params:
@@ -78,15 +95,21 @@ def apply(
     params: Params,
     cfg: ClipTextConfig,
     input_ids: jnp.ndarray,
+    *,
+    output_penultimate: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(B, S) -> (hidden (B, S, D), pooled (B, D)).
+    """(B, S) -> (hidden (B, S, D), pooled (B, D | projection_dim)).
 
     pooled = final-LN hidden at the first EOS position (CLIPTextModel
-    pooler for models with an explicit eos_token_id)."""
+    pooler), projected through text_projection when the checkpoint has one
+    (CLIPTextModelWithProjection, the SD3 encoders). With
+    output_penultimate=True the sequence output is the PENULTIMATE layer's
+    hidden states (hidden_states[-2], the SD3 conditioning convention)."""
     b, s = input_ids.shape
     x = params["token_embed"][input_ids] + params["pos_embed"][:s]
 
     h, hd = cfg.num_heads, cfg.hidden_size // cfg.num_heads
+    act = _quick_gelu if cfg.hidden_act == "quick_gelu" else jax.nn.gelu
 
     def layer(x, p):
         xn = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.ln_eps)
@@ -96,15 +119,19 @@ def apply(
         attn = dot_product_attention(q, k, v, causal=True, impl="xla")
         x = x + linear(p["attn"]["o"], attn.reshape(b, s, -1))
         xn = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"], cfg.ln_eps)
-        x = x + linear(p["mlp"]["fc2"], _quick_gelu(linear(p["mlp"]["fc1"], xn)))
-        return x, None
+        x = x + linear(p["mlp"]["fc2"], act(linear(p["mlp"]["fc1"], xn)))
+        return x, x
 
-    x, _ = jax.lax.scan(lambda c, p: layer(c, p), x, params["layers"])
-    x = layer_norm(x, params["final_ln"]["scale"], params["final_ln"]["bias"], cfg.ln_eps)
+    x, per_layer = jax.lax.scan(lambda c, p: layer(c, p), x, params["layers"])
+    final = layer_norm(x, params["final_ln"]["scale"], params["final_ln"]["bias"], cfg.ln_eps)
 
     eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
-    pooled = x[jnp.arange(b), eos_pos]
-    return x, pooled
+    pooled = final[jnp.arange(b), eos_pos]
+    if "text_projection" in params:
+        pooled = linear(params["text_projection"], pooled)
+    # penultimate = input to the LAST layer = per_layer[-2]
+    seq = per_layer[-2] if output_penultimate else final
+    return seq, pooled
 
 
 def convert_clip(src, cfg: ClipTextConfig, prefix: str = "text_model.") -> Params:
@@ -136,9 +163,15 @@ def convert_clip(src, cfg: ClipTextConfig, prefix: str = "text_model.") -> Param
                 },
             }
         )
-    return {
+    out = {
         "token_embed": jnp.asarray(src.get(f"{p}embeddings.token_embedding.weight")),
         "pos_embed": jnp.asarray(src.get(f"{p}embeddings.position_embedding.weight")),
         "layers": _stack(layers),
         "final_ln": _ln(f"{p}final_layer_norm"),
     }
+    if "text_projection.weight" in src:
+        # CLIPTextModelWithProjection (no bias)
+        out["text_projection"] = {
+            "kernel": jnp.asarray(src.get("text_projection.weight")).T
+        }
+    return out

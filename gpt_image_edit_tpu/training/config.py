@@ -50,6 +50,9 @@ class TrainingConfig:
     ema_update_freq: int = 1
     ema_update_after_step: int = 0
     validation_with_ema: bool = False    # probe-generate with EMA weights
+    # write an HF-format model_ema/ dir at each checkpoint, like the
+    # reference's save-state pre-hook (ref:train_denoiser.py:489-509)
+    export_ema_hf: bool = False
     profile_out_dir: Optional[str] = None
     report_to: Optional[str] = None      # wandb (gated) | None
 
@@ -94,6 +97,10 @@ class ModelConfig:
     vae_fp32: bool = True
     tiny: bool = False                  # use tiny configs (tests / smoke)
     compute_dtype: str = "bfloat16"
+    # int8 weight-only quantization of the FROZEN subtree (VLM trunk etc.):
+    # halves frozen-weight HBM so wider batches fit on 16GB chips; gradients
+    # still flow through activations (dequant happens inside linear()).
+    quantize_frozen: bool = False
 
 
 @dataclasses.dataclass

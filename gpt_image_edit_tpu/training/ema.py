@@ -15,7 +15,12 @@ import jax.numpy as jnp
 
 
 def init_ema(train_params) -> Any:
-    return jax.tree_util.tree_map(lambda p: p.astype(jnp.float32), train_params)
+    # copy=True is REQUIRED: for fp32 params astype() would alias the train
+    # buffers, which the donating train step then deletes out from under the
+    # EMA tree on its first call.
+    return jax.tree_util.tree_map(
+        lambda p: jnp.array(p, dtype=jnp.float32, copy=True), train_params
+    )
 
 
 def ema_decay_for_step(

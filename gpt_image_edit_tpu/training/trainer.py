@@ -203,6 +203,22 @@ def _run_validation_probes(
     )
 
 
+def export_ema_hf(cfg, ema, frozen, qcfg, fcfg, step):
+    """Write the EMA weights as an HF-format merged checkpoint under
+    output_dir/model_ema/ — the TPU analogue of the reference's save-state
+    pre-hook model_ema export (ref:train_denoiser.py:489-509). EMA covers the
+    trainable subtree; frozen leaves complete the pytree."""
+    import os
+
+    from gpt_image_edit_tpu.training.train_step import combine_params
+    from gpt_image_edit_tpu.utils.ckpt_export import save_merged_checkpoint
+
+    merged = combine_params(ema, frozen)
+    out = os.path.join(cfg.training_config.output_dir, "model_ema")
+    save_merged_checkpoint(out, merged["qwen"], merged["flux"], qcfg, fcfg)
+    log.info("EMA HF export at step %d -> %s", step, out)
+
+
 def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str, Any]:
     tc = cfg.training_config
     mc = cfg.model_config
@@ -218,6 +234,14 @@ def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str,
 
     tx, mask = build_optimizer(params, tc, mc, fcfg.num_layers, fcfg.num_single_layers)
     state, frozen = init_train_state(params, mask, tx)
+    if mc.quantize_frozen:
+        # int8 weight-only frozen subtree: halves the frozen VLM's HBM
+        # footprint (the 78GB/GPU stage-2 pressure, BASELINE.md); activations
+        # still differentiate through the dequantized matmul.
+        from gpt_image_edit_tpu.utils.quantize import quantize_params
+
+        frozen = quantize_params(frozen, mode="weight_only")
+        log.info("frozen subtree quantized to int8 weight-only")
     ema = init_ema(state["train"]) if tc.ema_decay else None
 
     manager = ckpt.make_manager(tc.output_dir, tc.checkpoints_total_limit)
@@ -349,6 +373,11 @@ def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str,
 
             if (step + 1) % tc.checkpointing_steps == 0:
                 ckpt.save(manager, step + 1, {"state": state, "ema": ema})
+                if ema is not None and tc.export_ema_hf:
+                    try:
+                        export_ema_hf(cfg, ema, frozen, qcfg, fcfg, step + 1)
+                    except Exception as e:  # export must never kill training
+                        log.warning("EMA HF export failed at %d: %s", step + 1, e)
 
             if tc.validation_steps and (step + 1) % tc.validation_steps == 0:
                 try:

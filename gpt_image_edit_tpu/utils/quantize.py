@@ -65,6 +65,8 @@ def quantize_params(
         by_path[path] = o
 
     def _build(node, prefix=()):
+        if node is None:  # pruned leaf (partitioned trainable/frozen trees)
+            return None
         if isinstance(node, dict):
             return {k: _build(v, prefix + (k,)) for k, v in node.items()}
         if isinstance(node, list):

@@ -85,6 +85,48 @@ def main():
         print(f"stage 1 VAE: latent MAE {m_lat:.5f} (max {mx_lat:.4f}); "
               f"pixel MAE {m_rec:.5f} (max {mx_rec:.4f}) -> {'PASS' if ok else 'FAIL'}")
 
+    # ---- stage 1b: CLIP pooled + T5 embeds vs HF transformers -------------
+    # (the serving conditioning path: ref:univa/serve/cli.py:220-233; torch
+    # CPU transformers IS available, so this runs wherever weights exist)
+    try:
+        import torch as _torch
+        from transformers import CLIPTextModel, T5EncoderModel
+    except ImportError:
+        _torch = None
+        print("stage 1b SKIP: transformers not installed")
+    if _torch is not None:
+        import os
+
+        if os.path.isdir(f"{args.flux_path}/text_encoder"):
+            from gpt_image_edit_tpu.utils.prompt_embeds import FluxTextEncoders
+
+            enc = FluxTextEncoders(args.flux_path)
+            pooled = np.asarray(enc.encode_clip_pooled([args.prompt]))
+            t5 = np.asarray(enc.encode_t5([args.prompt], 256))
+
+            tclip = CLIPTextModel.from_pretrained(f"{args.flux_path}/text_encoder").eval()
+            toks = enc.clip_tokenizer(
+                [args.prompt], padding="max_length", max_length=77,
+                truncation=True, return_tensors="pt",
+            )
+            with _torch.no_grad():
+                tpooled = tclip(**toks).pooler_output.numpy()
+            m_p, mx_p = mae(pooled, tpooled)
+
+            tt5 = T5EncoderModel.from_pretrained(f"{args.flux_path}/text_encoder_2").eval()
+            toks5 = enc.t5_tokenizer(
+                [args.prompt], padding="max_length", max_length=256,
+                truncation=True, return_tensors="pt",
+            )
+            with _torch.no_grad():
+                tt5_out = tt5(toks5["input_ids"]).last_hidden_state.numpy()
+            m_t, mx_t = mae(t5, tt5_out)
+            ok = m_p <= args.tolerance and m_t <= args.tolerance
+            print(f"stage 1b text-cond: CLIP pooled MAE {m_p:.5f} (max {mx_p:.4f}); "
+                  f"T5 MAE {m_t:.5f} (max {mx_t:.4f}) -> {'PASS' if ok else 'FAIL'}")
+        else:
+            print("stage 1b SKIP: no text_encoder/ under --flux_path")
+
     # ---- stage 2/3: reference stack needed -------------------------------
     if args.reference_repo is None:
         print("stage 2/3 SKIP: pass --reference_repo to compare LVLM embeds "

@@ -68,3 +68,86 @@ class TestClip:
         np.testing.assert_allclose(
             np.asarray(pooled), out.pooler_output.numpy(), atol=3e-4
         )
+
+
+class TestClipWithProjection:
+    def test_penultimate_and_projection_match_hf(self):
+        """SD3 encoder convention: sequence = hidden_states[-2], pooled =
+        text_projection(eos hidden) (ref:denoiser_prompt_embedding.py:38-76)."""
+        import dataclasses
+
+        from transformers import CLIPTextConfig as HFClipConfig
+        from transformers import CLIPTextModelWithProjection
+
+        torch.manual_seed(0)
+        hf_cfg = HFClipConfig(
+            vocab_size=512, hidden_size=32, num_hidden_layers=3,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=16, eos_token_id=511, bos_token_id=510,
+            pad_token_id=509, hidden_act="gelu", projection_dim=24,
+        )
+        hf = CLIPTextModelWithProjection(hf_cfg).eval().float()
+        cfg = dataclasses.replace(
+            ClipTextConfig.tiny(), num_layers=3, hidden_act="gelu",
+            projection_dim=24,
+        )
+        params = convert_clip(TensorSource.from_state_dict(hf.state_dict()), cfg)
+        assert "text_projection" in params
+
+        rng = np.random.default_rng(2)
+        ids = rng.integers(0, 509, (2, 12))
+        ids[:, -1] = 511
+        with torch.no_grad():
+            out = hf(input_ids=torch.tensor(ids), output_hidden_states=True)
+        seq, pooled = clip_apply(
+            params, cfg, jnp.asarray(ids), output_penultimate=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(seq), out.hidden_states[-2].numpy(), atol=3e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(pooled), out.text_embeds.numpy(), atol=1e-3
+        )
+
+
+class TestSd3TripleEncoder:
+    def test_assembly_shapes(self, tmp_path, monkeypatch):
+        """encode_prompt assembly: clip concat + pad to T5 width + seq concat
+        + pooled concat (ref:denoiser_prompt_embedding.py:79-128). Uses tiny
+        fake encoders injected directly."""
+        import dataclasses
+
+        import jax
+
+        from gpt_image_edit_tpu.models import clip as clip_mod
+        from gpt_image_edit_tpu.models import t5 as t5_mod
+        from gpt_image_edit_tpu.utils.prompt_embeds_sd3 import Sd3TextEncoders
+
+        class FakeTok:
+            def __call__(self, prompts, padding=None, max_length=None,
+                         truncation=None, return_tensors=None):
+                ids = np.full((len(prompts), max_length), 3, np.int64)
+                ids[:, -1] = 511 if max_length == 77 else 1
+                return {"input_ids": ids}
+
+        enc = Sd3TextEncoders("/nonexistent")
+        enc.clip_l_cfg = dataclasses.replace(
+            clip_mod.ClipTextConfig.tiny(), max_position_embeddings=77)
+        enc.clip_g_cfg = dataclasses.replace(
+            clip_mod.ClipTextConfig.tiny(), hidden_size=48, num_heads=2,
+            intermediate_size=96, max_position_embeddings=77, hidden_act="gelu")
+        enc.t5_cfg = dataclasses.replace(
+            t5_mod.T5Config.tiny(), d_model=96, d_ff=128)
+        enc._clip_l = (FakeTok(), clip_mod.init(jax.random.key(0), enc.clip_l_cfg))
+        enc._clip_g = (FakeTok(), clip_mod.init(jax.random.key(1), enc.clip_g_cfg))
+        enc._t5 = (FakeTok(), t5_mod.init(jax.random.key(2), enc.t5_cfg))
+
+        clip_padded, prompt_embeds, pooled = enc.encode_prompt(
+            ["a cat", "a dog"], max_sequence_length=8
+        )
+        t5_dim = enc.t5_cfg.d_model
+        assert clip_padded.shape == (2, 77, t5_dim)
+        assert prompt_embeds.shape == (2, 77 + 8, t5_dim)
+        assert pooled.shape == (2, 32 + 48)
+        # padded tail of the clip rows is zero
+        assert np.all(np.asarray(clip_padded[..., 32 + 48:]) == 0)

@@ -51,3 +51,62 @@ def test_train_and_resume(tmp_path):
     metrics2 = train(cfg2)
     assert metrics2["final_step"] == 3
     assert np.isfinite(metrics2["loss"])
+
+
+def test_train_quantized_frozen(tmp_path):
+    """int8 weight-only FROZEN subtree (the 16GB-chip memory lever,
+    VERDICT r1 #10): training still runs, loss finite, metrics.jsonl written."""
+    cfg = _cfg(tmp_path, model_config={
+        "tiny": True, "with_tune_mlp2": True, "quantize_frozen": True,
+    })
+    metrics = train(cfg)
+    assert metrics["final_step"] == 2
+    assert np.isfinite(metrics["loss"])
+    import json
+    import os
+
+    mpath = os.path.join(str(tmp_path / "ckpt"), "metrics.jsonl")
+    rows = [json.loads(l) for l in open(mpath)]
+    assert len(rows) >= 2 and "lr" in rows[0] and "train_loss" in rows[0]
+
+
+def test_train_ema_validation_and_export(tmp_path):
+    """EMA maintained, validated-with, and exported HF-format
+    (ref:train_denoiser.py:489-509 model_ema save hook)."""
+    cfg = _cfg(tmp_path, training_config={
+        "output_dir": str(tmp_path / "ckpt"),
+        "max_train_steps": 2,
+        "checkpointing_steps": 2,
+        "validation_steps": 2,
+        "ema_decay": 0.99,
+        "validation_with_ema": True,
+        "export_ema_hf": True,
+    })
+    metrics = train(cfg)
+    assert np.isfinite(metrics["loss"])
+    import glob
+    import os
+
+    ema_dir = os.path.join(str(tmp_path / "ckpt"), "model_ema")
+    assert glob.glob(os.path.join(ema_dir, "*.safetensors")), "EMA HF export missing"
+    probes = glob.glob(os.path.join(str(tmp_path / "ckpt"), "validation", "*", "*.png"))
+    assert probes, "validation probe images missing"
+
+
+def test_config_probe_slots_convert(tmp_path):
+    """Reference-style validation_*_prompt/path slots fold into
+    validation_probes (ref:configuration_denoise.py:77-117)."""
+    cfg = load_config(None, {
+        "dataset_config": {
+            "random_data": True,
+            "validation_it2i_prompt": "edit it",
+            "validation_image_path": "/x.png",
+            "validation_t2i_prompt": "a cat",
+            "validation_iit2i_prompt": "merge",
+            "validation_iit2i_path": ["/a.png", "/b.png"],
+        },
+    })
+    probes = {p["name"]: p for p in cfg.dataset_config.validation_probes}
+    assert probes["it2i"]["image_path"] == "/x.png"
+    assert "image_path" not in probes["t2i"]
+    assert probes["iit2i"]["image_paths"] == ["/a.png", "/b.png"]
