@@ -38,10 +38,13 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--understand", action="store_true", help="text answer instead of edit")
     p.add_argument("--quantize", type=str, default=None,
-                   choices=[None, "int8", "w8a8"],
+                   choices=[None, "int8", "w8a8", "w8a8-attn"],
                    help="denoiser quantization: int8 = weight-only (fits 12B "
                         "FLUX on one 16GB chip), w8a8 = int8 MXU matmuls "
-                        "(~22%% faster serving)")
+                        "(~25%% faster serving), w8a8-attn = experimental "
+                        "int8 attention too")
+    p.add_argument("--no_joint_with_t5", action="store_true",
+                   help="skip the T5 suffix concat (ref cli no_joint_with_t5)")
     return p
 
 
@@ -50,7 +53,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     rt = UnivaRuntime(
         args.model_path, args.flux_path, tiny=args.tiny, seed=args.seed,
-        quantize=args.quantize,
+        quantize=args.quantize, joint_with_t5=not args.no_joint_with_t5,
     )
     image = Image.open(args.image) if args.image else None
 
@@ -67,9 +70,13 @@ def main(argv=None):
             print(f"saved {args.output} ({out.width}x{out.height})")
         return 0
 
-    # REPL
+    # REPL: stateful multi-turn — the FULL conversation is re-encoded each
+    # turn and ALL history images (generated ones included) condition the
+    # next edit (ref:univa/serve/cli.py:141-254)
+    rt.reset_chat()
     last = None
-    print("REPL: '?question' answers; 'instruction' edits; /load /save, exit")
+    print("REPL: '?question' answers; 'instruction' edits (multi-turn, "
+          "history-conditioned); /load /save /reset, exit")
     while True:
         try:
             line = input(">>> ").strip()
@@ -90,12 +97,26 @@ def main(argv=None):
                 last.save(line[6:].strip())
                 print("saved")
             continue
+        if line.startswith("/reset"):
+            rt.reset_chat()
+            image = None
+            print("chat reset")
+            continue
+        new_images = [image] if image is not None else []
+        image = None  # consumed: it now lives in the chat history
         if line.startswith("?"):
-            print(rt.answer(line[1:].strip(), image))
+            _, answer = rt.chat_turn(line[1:].strip(), new_images,
+                                     force_generate=False)
+            print(answer)
         else:
-            last = rt.edit(line, image, steps=args.steps, guidance=args.guidance)
-            image = last  # history: edit output becomes next conditioning
-            print(f"edited ({last.width}x{last.height}); /save to write out")
+            img, answer = rt.chat_turn(
+                line, new_images, steps=args.steps, guidance=args.guidance,
+            )
+            if img is not None:
+                last = img
+                print(f"edited ({last.width}x{last.height}); /save to write out")
+            else:
+                print(answer)
     return 0
 
 

@@ -121,3 +121,41 @@ class TestMasks:
         ref = np.zeros((64, 64, 3), np.float32)
         w = region_weight_tokens(ref, ref.copy(), weight_type="log")
         np.testing.assert_array_equal(w, np.ones(16, np.float32))
+
+
+class TestLlavaDataset:
+    def test_llava_protocol(self, tmp_path):
+        """Legacy LLaVA dataset: fixed 729-token protocol, labels, gen trigger
+        (ref:univa/dataset/llava_dataset.py)."""
+        import json
+
+        from gpt_image_edit_tpu.data import get_dataset_cls
+
+        rng = np.random.default_rng(0)
+        for name in ("src.png", "tgt.png"):
+            Image.fromarray(
+                rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+            ).save(tmp_path / name)
+        items = [{
+            "conversations": [
+                {"from": "human", "value": "make it blue <image>"},
+                {"from": "gpt", "value": "<gen_image>"},
+            ],
+            "image": ["src.png", "tgt.png"],
+        }]
+        (tmp_path / "d.json").write_text(json.dumps(items))
+        (tmp_path / "data.txt").write_text(f"{tmp_path},{tmp_path / 'd.json'}\n")
+
+        cls = get_dataset_cls("llava")
+        ds = cls(
+            tokenizer=FakeTokenizer(), data_txt=str(tmp_path / "data.txt"),
+            image_size=32, target_size=64, only_generated_task=True, notry=True,
+        )
+        s = ds[0]
+        ids = np.asarray(s["input_ids"])
+        assert (ids == C.IMAGE_TOKEN_ID).sum() == 729  # fixed LLaVA grid
+        assert ids[-1] == C.VISION_START_ID            # generation trigger
+        labels = np.asarray(s["labels"])
+        assert labels[-1] == C.VISION_START_ID and (labels == -100).sum() > 0
+        assert s["pixel_values"].shape == (1, 32, 32, 3)
+        assert s["target_pixels"].shape == (64, 64, 3)
