@@ -44,25 +44,16 @@ def build_demo(runtime, default_steps=28, default_guidance=3.5):
         def on_step(step_idx):
             progress((int(step_idx) + 1) / float(steps))
 
-        outs = []
-        answer = None
         n = max(1, int(num_imgs))
-        for i in range(n):
-            img, answer = runtime.chat_turn(
-                text if i == 0 else text,  # one logical turn; extra samples reseed
-                new_images if i == 0 else [],
-                force_generate=force if i == 0 else (True if outs else force),
-                ocr_enhancer=ocr_enhancer,
-                steps=int(steps), guidance=float(guidance),
-                seed=seed + i, step_callback=on_step,
-            )
-            if img is None:
-                break
-            outs.append(img)
-            if n > 1 and i + 1 < n:
-                # extra samples should not stack into the history
-                runtime.conversation.pop()
-                runtime.history_images.pop()
+        img, answer = runtime.chat_turn(
+            text, new_images,
+            force_generate=force,
+            ocr_enhancer=ocr_enhancer,
+            steps=int(steps), guidance=float(guidance),
+            seed=seed, step_callback=on_step,
+            num_images_per_prompt=n,
+        )
+        outs = img if isinstance(img, list) else ([img] if img is not None else [])
         progress(1.0)
         chatbox = list(chatbox or [])
         chatbox.append((text, answer))

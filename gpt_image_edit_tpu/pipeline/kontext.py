@@ -217,7 +217,25 @@ class KontextPipeline:
         output_type: str = "pixels",
         txt_pad_mask: Optional[jnp.ndarray] = None,
         step_callback=None,
+        num_images_per_prompt: int = 1,
     ) -> jnp.ndarray:
+        if num_images_per_prompt > 1:
+            # true batched sampling: tile the conditioning, one scan at B=N
+            # (ref flux_pipeline num_images_per_prompt, ref:app.py:318-325)
+            n = num_images_per_prompt
+            tile = lambda x: None if x is None else jnp.repeat(x, n, axis=0)
+            prompt_embeds = tile(prompt_embeds)
+            pooled_prompt_embeds = tile(pooled_prompt_embeds)
+            negative_prompt_embeds = tile(negative_prompt_embeds)
+            negative_pooled_prompt_embeds = tile(negative_pooled_prompt_embeds)
+            txt_pad_mask = tile(txt_pad_mask)
+            latents = tile(latents)
+            if image is not None:
+                if isinstance(image, (list, tuple)):
+                    image = [tile(im) for im in image]
+                else:
+                    image = tile(image)
+            image_latents = tile(image_latents)
         b = prompt_embeds.shape[0]
         down = self.vae_cfg.downscale
         lat_h = 2 * (height // (down * 2))

@@ -237,7 +237,8 @@ class UnivaRuntime:
         width: Optional[int] = None,
         seed: Optional[int] = None,
         step_callback=None,  # host fn(step_idx): UI progress (ref:app.py:308-313)
-    ) -> Image.Image:
+        num_images_per_prompt: int = 1,  # batched sampling (ref:app.py:318-325)
+    ):
         images = (
             list(image) if isinstance(image, (list, tuple))
             else ([image] if image is not None else [])
@@ -298,9 +299,12 @@ class UnivaRuntime:
             negative_pooled_prompt_embeds=neg_pooled,
             rng=sample_rng,
             step_callback=step_callback,
+            num_images_per_prompt=num_images_per_prompt,
         )
-        arr = postprocess_to_uint8(out)[0]
-        return Image.fromarray(arr)
+        arrs = postprocess_to_uint8(out)
+        if num_images_per_prompt > 1:
+            return [Image.fromarray(a) for a in arrs]
+        return Image.fromarray(arrs[0])
 
     # ------------------------------------------------------------------
     def route(self, message: str, image: Optional[Image.Image] = None) -> bool:
@@ -409,10 +413,13 @@ class UnivaRuntime:
                 rng=sample_rng,
                 **edit_kw,
             )
-            img = Image.fromarray(postprocess_to_uint8(out)[0])
+            arrs = postprocess_to_uint8(out)
+            imgs = [Image.fromarray(a) for a in arrs]
+            # only the FIRST sample joins the chat history (the reference
+            # collages extras for display only, ref:app.py:324-329)
             self.conversation.append({"from": "assistant", "value": "<image>"})
-            self.history_images.append(img)
-            return img, None
+            self.history_images.append(imgs[0])
+            return (imgs if len(imgs) > 1 else imgs[0]), None
 
         kwargs, deltas = self._prepare_inputs(self.conversation, self.history_images)
         from gpt_image_edit_tpu.models.qwen2p5vl.model import generate_greedy

@@ -58,3 +58,15 @@ class TestChatTurn:
         rt.chat_turn("edit", [_img(3)], force_generate=True, steps=2, seed=0)
         rt.reset_chat()
         assert rt.conversation == [] and rt.history_images == []
+
+    def test_num_images_per_prompt_batched(self):
+        rt = UnivaRuntime(tiny=True)
+        rt.reset_chat()
+        imgs, _ = rt.chat_turn(
+            "edit", [_img(5)], force_generate=True, steps=2, seed=0,
+            num_images_per_prompt=2,
+        )
+        assert isinstance(imgs, list) and len(imgs) == 2
+        # samples differ (independent noise) but only the first joins history
+        assert np.any(np.asarray(imgs[0]) != np.asarray(imgs[1]))
+        assert len(rt.history_images) == 2
