@@ -10,7 +10,6 @@ responses (ref:complex_edit/eval/{alignment,quality}).
 from __future__ import annotations
 
 import json
-import math
 import os
 from typing import Dict, List, Optional
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 import csv
 import math
 import os
-from collections import defaultdict
 from typing import Dict, List, Optional
 
 GROUPS = [

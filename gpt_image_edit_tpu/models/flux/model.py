@@ -20,14 +20,13 @@ TPU-first design decisions (vs the torch reference):
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from gpt_image_edit_tpu.models.common import (
     Params,
-    layer_norm_init,
     linear,
     linear_init,
     rms_weight_init,

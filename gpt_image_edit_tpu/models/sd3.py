@@ -1,15 +1,16 @@
-"""SD3 denoiser extension point (ref:univa/models/modeling_univa_denoise_tower.py:22-23,112-125).
+"""DENOISER_TYPE registry: flux | sd3
+(ref:univa/models/modeling_univa_denoise_tower.py:22-23,112-125).
 
-The reference supports denoiser_type='sd3' but no shipped config uses it
-(SURVEY.md appendix: vestigial). The registry entry exists so configs fail
-with a clear message; the FLUX path is the production denoiser.
+Both denoisers are IMPLEMENTED: the production FLUX MMDiT lives in
+models/flux/ and the SD3 MMDiT (full implementation: image-first joint
+attention, sincos pos embeds, context_pre_only final block) in
+models/sd3_model.py, driven end-to-end by pipeline/sd3.py. The reference
+supports denoiser_type='sd3' but ships no config using it (SURVEY appendix).
 
-Implementation notes for when this is filled in:
-- SD3 MMDiT = FLUX dual-stream blocks minus rope (learned pos embeds),
-  with optional qk-norm and a final context drop; prefix_prompt_embeds are
-  concatenated BEFORE the VLM embeds for sd3 (ref tower :113-117), the
-  opposite of flux ordering.
-- timestep conditioning has no guidance embedding.
+SD3-vs-FLUX protocol differences honored by the implementations:
+- prefix_prompt_embeds concatenate BEFORE the VLM embeds for sd3
+  (ref tower :113-117), the opposite of flux ordering
+- learned/sincos positions instead of rope; no guidance embedding
 """
 
 from __future__ import annotations

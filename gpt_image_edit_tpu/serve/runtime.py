@@ -20,7 +20,6 @@ from gpt_image_edit_tpu.data import constants as C
 from gpt_image_edit_tpu.data.image_processing import (
     preprocess_vae_image,
     preprocess_vit_patches,
-    smart_resize,
 )
 from gpt_image_edit_tpu.data.prompter import Qwen2VLPrompter
 from gpt_image_edit_tpu.data.tokenizer import load_tokenizer
@@ -30,7 +29,7 @@ from gpt_image_edit_tpu.models.qwen2p5vl import (
     apply_qwen,
     init_qwen,
 )
-from gpt_image_edit_tpu.models.qwen2p5vl import language, vision
+from gpt_image_edit_tpu.models.qwen2p5vl import vision
 from gpt_image_edit_tpu.models.qwen2p5vl.rope_index import get_rope_index
 from gpt_image_edit_tpu.models.vae import VaeConfig, init_vae
 from gpt_image_edit_tpu.pipeline.kontext import (

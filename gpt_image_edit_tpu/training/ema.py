@@ -8,7 +8,7 @@ EMAModel power schedule the reference uses."""
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ scan stays a single fused graph.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,11 +10,10 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from gpt_image_edit_tpu.pipeline.kontext import KontextPipeline, postprocess_to_uint8
 from gpt_image_edit_tpu.training.train_step import combine_params

@@ -7,10 +7,9 @@ checkpoint dir (tokenizer/ = CLIP, tokenizer_2/ = T5)."""
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from gpt_image_edit_tpu.models import clip as clip_mod
 from gpt_image_edit_tpu.models import t5 as t5_mod

@@ -115,7 +115,8 @@ def main():
 
     params = _build(abstract)
 
-    b, h, w, s_txt = 1, 128, 128, 512
+    b = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 1
+    h, w, s_txt = 128, 128, 512
     s_tgt = (h // 2) * (w // 2)
     rng = np.random.default_rng(0)
     latents = jnp.asarray(rng.standard_normal((b, 2 * s_tgt, cfg.in_channels)), jnp.bfloat16)
