@@ -102,6 +102,18 @@ def gate_stacked_updates(updates, dual_gate, single_gate):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def decay_mask(params) -> "jax.tree_util.PyTreeDef":
+    """True where weight decay applies: 2D+ 'kernel' leaves. Biases, norm
+    scales and embeddings stay decay-free — the reference's UniVATrainer
+    decay/no-decay grouping (ref:univa/training/trainer.py:4-35)."""
+    paths, leaves, treedef = _leaf_paths(params)
+    mask = [
+        p.endswith("kernel") and hasattr(l, "ndim") and l.ndim >= 2
+        for p, l in zip(paths, leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, mask)
+
+
 def lr_schedule(cfg: TrainingConfig):
     if cfg.lr_scheduler == "constant":
         base = optax.schedules.constant_schedule(cfg.learning_rate)
@@ -139,6 +151,10 @@ def build_optimizer(params, train_cfg: TrainingConfig, model_cfg: ModelConfig,
             b2=train_cfg.adam_beta2,
             eps=train_cfg.adam_epsilon,
             weight_decay=train_cfg.adam_weight_decay,
+            # weight decay applies to matmul kernels only, never biases or
+            # norm scales — the reference's UniVATrainer decay/no-decay param
+            # grouping (ref:univa/training/trainer.py:4-35)
+            mask=decay_mask,
         )
     elif train_cfg.optimizer == "adafactor":
         inner = optax.adafactor(learning_rate=lr_schedule(train_cfg))

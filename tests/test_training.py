@@ -219,3 +219,49 @@ class TestEmaAndCheckpoints:
         step, restored = out
         assert step == 3
         np.testing.assert_array_equal(np.asarray(restored["x"]), np.arange(8.0))
+
+
+def test_weight_decay_kernels_only():
+    """AdamW weight decay hits 2D kernels only — biases/norm scales are
+    decay-free (the reference's UniVATrainer param grouping,
+    ref:univa/training/trainer.py:4-35)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpt_image_edit_tpu.training.config import ModelConfig, TrainingConfig
+    from gpt_image_edit_tpu.training.optimizer import build_optimizer
+
+    params = {
+        "flux": {
+            "dual_blocks": {
+                "attn": {
+                    "to_q": {
+                        "kernel": jnp.ones((1, 4, 4)),  # stacked (L, in, out)
+                        "bias": jnp.ones((1, 4)),
+                    },
+                    "norm_q": {"scale": jnp.ones((1, 4))},
+                },
+            },
+        },
+    }
+    tc = TrainingConfig(learning_rate=0.0, adam_weight_decay=0.1, max_grad_norm=1.0)
+    mc = ModelConfig(only_tune_mlp2=False, with_tune_mlp2=False,
+                     only_tune_image_branch=True)
+    tx, mask = build_optimizer(params, tc, mc, 1, 0)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    opt = tx.init(params)
+    updates, _ = tx.update(zeros, opt, params)
+    blk = updates["flux"]["dual_blocks"]["attn"]
+    # lr == 0 -> the only update source is decoupled weight decay... which
+    # adamw scales by lr, so everything must be zero at lr=0
+    assert float(jnp.abs(blk["to_q"]["kernel"]).max()) == 0.0
+
+    tc2 = TrainingConfig(learning_rate=1.0, adam_weight_decay=0.1,
+                         max_grad_norm=1e9)
+    tx2, _ = build_optimizer(params, tc2, mc, 1, 0)
+    opt2 = tx2.init(params)
+    updates2, _ = tx2.update(zeros, opt2, params)
+    blk2 = updates2["flux"]["dual_blocks"]["attn"]
+    assert float(jnp.abs(blk2["to_q"]["kernel"]).max()) > 0.0   # decayed
+    assert float(jnp.abs(blk2["to_q"]["bias"]).max()) == 0.0    # no decay
+    assert float(jnp.abs(blk2["norm_q"]["scale"]).max()) == 0.0  # no decay
