@@ -22,7 +22,27 @@ import random
 from PIL import Image
 
 
-def build_demo(runtime, default_steps=28, default_guidance=3.5):
+def add_plain_text_watermark(img: Image.Image, text: str,
+                             margin: int = 50, font_size: int = 30):
+    """Bottom-right text watermark (ref:app.py:42-60; the reference ships it
+    behind a commented-out call — available here via --watermark)."""
+    from PIL import ImageDraw, ImageFont
+
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    draw = ImageDraw.Draw(img)
+    try:
+        font = ImageFont.truetype("DejaVuSans.ttf", font_size)
+    except OSError:
+        font = ImageFont.load_default()
+    bbox = draw.textbbox((0, 0), text, font=font)
+    x = img.width - (bbox[2] - bbox[0]) - margin
+    y = img.height - (bbox[3] - bbox[1]) - margin
+    draw.text((max(x, 0), max(y, 0)), text, fill=(255, 255, 255), font=font)
+    return img
+
+
+def build_demo(runtime, default_steps=28, default_guidance=3.5, watermark=None):
     import gradio as gr
 
     runtime.reset_chat()
@@ -54,6 +74,8 @@ def build_demo(runtime, default_steps=28, default_guidance=3.5):
             num_images_per_prompt=n,
         )
         outs = img if isinstance(img, list) else ([img] if img is not None else [])
+        if watermark:
+            outs = [add_plain_text_watermark(o, watermark) for o in outs]
         progress(1.0)
         chatbox = list(chatbox or [])
         chatbox.append((text, answer))
@@ -109,6 +131,8 @@ def main():
                     help="int8 weight-only / W8A8 int8-MXU serving "
                          "(the reference's NF4 option, ref:app.py:129-176)")
     ap.add_argument("--no_joint_with_t5", action="store_true")
+    ap.add_argument("--watermark", default=None,
+                    help="optional text watermark on generated images")
     args = ap.parse_args()
 
     try:
@@ -125,7 +149,7 @@ def main():
         args.model_path, args.flux_path, tiny=args.tiny,
         quantize=args.quantize, joint_with_t5=not args.no_joint_with_t5,
     )
-    build_demo(rt).launch(server_port=args.port)
+    build_demo(rt, watermark=args.watermark).launch(server_port=args.port)
 
 
 if __name__ == "__main__":

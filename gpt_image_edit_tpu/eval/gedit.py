@@ -154,7 +154,9 @@ def step2_judge(
             "instruction": item["instruction"],
             "sementics_score": sc,
             "quality_score": pq,
-            "intersection_exist": item.get("Intersection_exist", ""),
+            "intersection_exist": item.get(
+                "Intersection_exist", item.get("intersection_exist", "")
+            ),
             "instruction_language": lang,
         }
 

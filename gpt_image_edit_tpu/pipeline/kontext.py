@@ -64,6 +64,7 @@ def denoise_scan(
     neg_pooled_embeds: Optional[jnp.ndarray] = None,
     true_cfg_scale: float = 1.0,
     txt_pad_mask: Optional[jnp.ndarray] = None,  # (B, S_txt)
+    neg_txt_pad_mask: Optional[jnp.ndarray] = None,  # (B, S_txt_neg)
     step_callback=None,  # host fn(step_idx) via jax.debug.callback (UI progress)
 ) -> jnp.ndarray:
     """28-step (or N-step) Euler flow-matching loop as one lax.scan.
@@ -75,25 +76,38 @@ def denoise_scan(
     s_target = latents.shape[1]
     do_cfg = true_cfg_scale > 1.0 and neg_prompt_embeds is not None
 
-    pad_mask = None
-    if txt_pad_mask is not None:
+    def _full_mask(tmask):
+        if tmask is None:
+            return None
         b = latents.shape[0]
         s_img_total = latent_ids.shape[0]
-        pad_mask = jnp.concatenate(
-            [txt_pad_mask.astype(jnp.bool_), jnp.ones((b, s_img_total), jnp.bool_)],
+        return jnp.concatenate(
+            [tmask.astype(jnp.bool_), jnp.ones((b, s_img_total), jnp.bool_)],
             axis=-1,
         )
+
+    pad_mask = _full_mask(txt_pad_mask)
+    neg_pad_mask = _full_mask(neg_txt_pad_mask) if do_cfg else None
 
     # rope tables are step-invariant: compute once OUTSIDE the scan
     from gpt_image_edit_tpu.ops.rope import flux_rope_freqs
 
-    s_txt = prompt_embeds.shape[1]
-    all_ids = jnp.concatenate(
-        [jnp.zeros((s_txt, 3), jnp.float32), latent_ids], axis=0
-    )
-    rope = flux_rope_freqs(all_ids, flux_cfg.axes_dims_rope, flux_cfg.rope_theta)
+    def _rope_for(s_txt):
+        all_ids = jnp.concatenate(
+            [jnp.zeros((s_txt, 3), jnp.float32), latent_ids], axis=0
+        )
+        return flux_rope_freqs(all_ids, flux_cfg.axes_dims_rope, flux_cfg.rope_theta)
 
-    def model(lat_in, sigma, embeds, pooled):
+    rope = _rope_for(prompt_embeds.shape[1])
+    # the negative prompt may have a different (static) length: its own rope
+    # table and pad mask (ref true-CFG encodes the branches independently)
+    neg_rope = (
+        rope
+        if not do_cfg or neg_prompt_embeds.shape[1] == prompt_embeds.shape[1]
+        else _rope_for(neg_prompt_embeds.shape[1])
+    )
+
+    def model(lat_in, sigma, embeds, pooled, mask, rope_tab):
         b = lat_in.shape[0]
         pred = apply_flux(
             flux_params,
@@ -104,8 +118,8 @@ def denoise_scan(
             timestep=jnp.broadcast_to(sigma, (b,)),
             img_ids=latent_ids,
             guidance=guidance if flux_cfg.guidance_embeds else None,
-            pad_mask=pad_mask,
-            rope=rope,
+            pad_mask=mask,
+            rope=rope_tab,
         )
         return pred[:, :s_target]
 
@@ -118,9 +132,12 @@ def denoise_scan(
         lat_in = lat
         if image_latents is not None:
             lat_in = jnp.concatenate([lat, image_latents.astype(lat.dtype)], axis=1)
-        pred = model(lat_in, sigma, prompt_embeds, pooled_embeds)
+        pred = model(lat_in, sigma, prompt_embeds, pooled_embeds, pad_mask, rope)
         if do_cfg:
-            neg = model(lat_in, sigma, neg_prompt_embeds, neg_pooled_embeds)
+            neg = model(
+                lat_in, sigma, neg_prompt_embeds, neg_pooled_embeds,
+                neg_pad_mask, neg_rope,
+            )
             pred = neg + true_cfg_scale * (pred - neg)
         # Euler update in fp32, carry stays in the latent dtype
         lat = (
@@ -216,6 +233,7 @@ class KontextPipeline:
         latents: Optional[jnp.ndarray] = None,
         output_type: str = "pixels",
         txt_pad_mask: Optional[jnp.ndarray] = None,
+        neg_txt_pad_mask: Optional[jnp.ndarray] = None,
         step_callback=None,
         num_images_per_prompt: int = 1,
     ) -> jnp.ndarray:
@@ -229,6 +247,7 @@ class KontextPipeline:
             negative_prompt_embeds = tile(negative_prompt_embeds)
             negative_pooled_prompt_embeds = tile(negative_pooled_prompt_embeds)
             txt_pad_mask = tile(txt_pad_mask)
+            neg_txt_pad_mask = tile(neg_txt_pad_mask)
             latents = tile(latents)
             if image is not None:
                 if isinstance(image, (list, tuple)):
@@ -277,6 +296,7 @@ class KontextPipeline:
             neg_pooled_embeds=negative_pooled_prompt_embeds,
             true_cfg_scale=true_cfg_scale,
             txt_pad_mask=txt_pad_mask,
+            neg_txt_pad_mask=neg_txt_pad_mask,
             step_callback=step_callback,
         )
         if output_type == "latent":

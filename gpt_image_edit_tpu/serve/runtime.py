@@ -183,8 +183,15 @@ class UnivaRuntime:
             prompt = prompt.replace("<image>", expansion, 1)
         assert "<image>" not in prompt, "more <image> placeholders than images"
 
-        input_ids = np.asarray([self.tokenizer.encode(prompt)], dtype=np.int64)
-        attn = np.ones_like(input_ids)
+        ids = self.tokenizer.encode(prompt)
+        # left-pad to a 64-multiple: bounds jit recompiles across prompt
+        # lengths (prefill/decode/denoise graphs key on the static length)
+        pad_to = ((len(ids) + 63) // 64) * 64
+        pad_id = getattr(self.tokenizer, "pad_token_id", 151643)
+        input_ids = np.full((1, pad_to), pad_id, dtype=np.int64)
+        attn = np.zeros((1, pad_to), dtype=np.int64)
+        input_ids[0, pad_to - len(ids):] = ids
+        attn[0, pad_to - len(ids):] = 1
         grid_thw = np.asarray(grids, dtype=np.int64) if grids else None
         pos, deltas = get_rope_index(
             input_ids, grid_thw, attn,
@@ -244,7 +251,8 @@ class UnivaRuntime:
         )
         value = "<image>" * len(images) + instruction
         conversation = [{"from": "user", "value": value}]
-        embeds, _ = self._encode_prompt(conversation, images)
+        embeds, enc_kwargs = self._encode_prompt(conversation, images)
+        txt_pad_mask = enc_kwargs["attention_mask"]
 
         # real CLIP pooled row + optional T5 suffix (ref:cli.py:220-233)
         t5_embeds, pooled = self._text_cond(instruction)
@@ -252,17 +260,28 @@ class UnivaRuntime:
             embeds = jnp.concatenate(
                 [embeds, t5_embeds.astype(embeds.dtype)], axis=1
             )
+            txt_pad_mask = jnp.concatenate(
+                [txt_pad_mask, jnp.ones((1, t5_embeds.shape[1]), txt_pad_mask.dtype)],
+                axis=1,
+            )
 
-        neg_embeds = neg_pooled = None
+        neg_embeds = neg_pooled = neg_txt_pad_mask = None
         if true_cfg_scale > 1.0:
             # true-CFG negative branch: the hardcoded unconditional prompt
-            # (ref:train_denoiser.py:1458-1468, flux_pipeline true_cfg)
+            # (ref:train_denoiser.py:1458-1468, flux_pipeline true_cfg);
+            # the branch carries its own pad mask + rope length
             neg_convo = [{"from": "user", "value": negative_prompt}]
-            neg_embeds, _ = self._encode_prompt(neg_convo, [])
+            neg_embeds, neg_kwargs = self._encode_prompt(neg_convo, [])
+            neg_txt_pad_mask = neg_kwargs["attention_mask"]
             neg_t5, neg_pooled = self._text_cond(negative_prompt)
             if neg_t5 is not None:
                 neg_embeds = jnp.concatenate(
                     [neg_embeds, neg_t5.astype(neg_embeds.dtype)], axis=1
+                )
+                neg_txt_pad_mask = jnp.concatenate(
+                    [neg_txt_pad_mask,
+                     jnp.ones((1, neg_t5.shape[1]), neg_txt_pad_mask.dtype)],
+                    axis=1,
                 )
             neg_embeds = neg_embeds.astype(jnp.bfloat16)
             neg_pooled = neg_pooled.astype(jnp.bfloat16)
@@ -299,6 +318,8 @@ class UnivaRuntime:
             rng=sample_rng,
             step_callback=step_callback,
             num_images_per_prompt=num_images_per_prompt,
+            txt_pad_mask=txt_pad_mask,
+            neg_txt_pad_mask=neg_txt_pad_mask,
         )
         arrs = postprocess_to_uint8(out)
         if num_images_per_prompt > 1:
@@ -384,10 +405,16 @@ class UnivaRuntime:
             generate = force_generate
 
         if generate:
-            embeds, _ = self._encode_prompt(self.conversation, self.history_images)
+            embeds, enc_kwargs = self._encode_prompt(self.conversation, self.history_images)
+            txt_pad_mask = enc_kwargs["attention_mask"]
             t5_embeds, pooled = self._text_cond(message)
             if t5_embeds is not None:
                 embeds = jnp.concatenate([embeds, t5_embeds.astype(embeds.dtype)], axis=1)
+                txt_pad_mask = jnp.concatenate(
+                    [txt_pad_mask,
+                     jnp.ones((1, t5_embeds.shape[1]), txt_pad_mask.dtype)],
+                    axis=1,
+                )
             first = self.history_images[0] if self.history_images else None
             height, width = update_size(first)
             if self.vcfg.downscale != 8:
@@ -410,6 +437,7 @@ class UnivaRuntime:
                 num_inference_steps=edit_kw.pop("steps", 28),
                 guidance_scale=edit_kw.pop("guidance", 3.5),
                 rng=sample_rng,
+                txt_pad_mask=txt_pad_mask,
                 **edit_kw,
             )
             arrs = postprocess_to_uint8(out)

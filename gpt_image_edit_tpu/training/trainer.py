@@ -388,6 +388,14 @@ def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str,
                 except Exception as e:  # validation must never kill training
                     log.warning("validation failed at step %d: %s", step + 1, e)
 
+    # flush metrics recorded after the last logging-interval boundary
+    for s, m in pending:
+        mlog.log(s, {
+            "train_loss": float(m["loss"]),
+            "grad_norm": float(m["grad_norm"]),
+            "lr": float(schedule(s - 1)),
+        })
+    pending.clear()
     if tc.profile_out_dir:
         jax.profiler.stop_trace()
     mlog.close()

@@ -70,3 +70,28 @@ class TestChatTurn:
         # samples differ (independent noise) but only the first joins history
         assert np.any(np.asarray(imgs[0]) != np.asarray(imgs[1]))
         assert len(rt.history_images) == 2
+
+
+class TestEditPaths:
+    def test_true_cfg_negative_branch(self):
+        """True-CFG with the hardcoded negative prompt: positive/negative
+        prompts have DIFFERENT static lengths (own pad masks + rope)."""
+        rt = UnivaRuntime(tiny=True)
+        out = rt.edit(
+            "make the extremely detailed sky dramatically more dramatic please",
+            _img(7), steps=2, seed=0, true_cfg_scale=2.0,
+        )
+        assert out.size[0] > 0
+
+    def test_prompt_length_bucketing(self):
+        """Prompts pad to 64-multiples so serving graphs are reused across
+        nearby prompt lengths."""
+        rt = UnivaRuntime(tiny=True)
+        k1, _ = rt._prepare_inputs([{"from": "user", "value": "hi"}], [])
+        k2, _ = rt._prepare_inputs(
+            [{"from": "user", "value": "hello there friend"}], []
+        )
+        assert k1["input_ids"].shape == k2["input_ids"].shape
+        assert k1["input_ids"].shape[1] % 64 == 0
+        # left padding: attention zeros at the left edge
+        assert int(k1["attention_mask"][0, 0]) == 0
