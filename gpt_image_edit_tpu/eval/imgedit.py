@@ -20,12 +20,13 @@ from gpt_image_edit_tpu.eval.gen_samples import generate_samples
 from gpt_image_edit_tpu.eval.judge import GPTJudge, average_by_type, parse_metric_lines
 
 
-# the benchmark's per-edit-type judge rubrics, shipped with the framework
-# (PROTOCOL ASSET, identical to the ImgEdit release's eval_prompts/prompts.json;
-# ref:univa/eval/imgedit/step2_basic_bench.py:60-67)
-DEFAULT_PROMPTS_JSON = os.path.join(
-    os.path.dirname(__file__), "assets", "imgedit_prompts.json"
-)
+def default_rubric() -> Dict[str, str]:
+    """The benchmark's per-edit-type judge rubrics, shipped with the
+    framework (PROTOCOL ASSET byte-identical to the ImgEdit release's
+    eval_prompts/prompts.json; ref:step2_basic_bench.py:60-67)."""
+    from gpt_image_edit_tpu.eval.imgedit_prompts import PROMPTS
+
+    return dict(PROMPTS)
 
 
 def load_benchmark(data_json: str) -> Dict[str, Dict]:
@@ -59,8 +60,11 @@ def step2_judge(
 ):
     """Resumable judging: skips keys already present in out_json."""
     bench = load_benchmark(cfg.data_json)
-    with open(prompts_json or DEFAULT_PROMPTS_JSON) as f:
-        rubric = json.load(f)
+    if prompts_json:
+        with open(prompts_json) as f:
+            rubric = json.load(f)
+    else:
+        rubric = default_rubric()
     judge = judge or GPTJudge()
 
     results: Dict[str, str] = {}

@@ -320,10 +320,9 @@ class TestOmniContextJudge:
 
 class TestImgEditAsset:
     def test_shipped_rubric_matches_release(self):
-        from gpt_image_edit_tpu.eval.imgedit import DEFAULT_PROMPTS_JSON
+        from gpt_image_edit_tpu.eval.imgedit import default_rubric
 
-        with open(DEFAULT_PROMPTS_JSON) as f:
-            ours = json.load(f)
+        ours = default_rubric()
         with open(f"{REF}/imgedit/eval_prompts/prompts.json") as f:
             release = json.load(f)
         assert ours == release
