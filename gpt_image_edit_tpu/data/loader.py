@@ -48,13 +48,22 @@ class BatchLoader:
         kclass = 0 if k == 0 else (1 << (k - 1).bit_length())
         return (shape, kclass)
 
+    def _index_stream(self, rng):
+        """Epoch-shuffled indices WITHOUT replacement — torch DataLoader
+        shuffle=True semantics (ref:train_denoiser.py:646-683); reshuffles
+        every epoch."""
+        while True:
+            for i in rng.permutation(len(self.dataset)):
+                yield int(i)
+
     def _producer(self):
         rng = np.random.default_rng(self.seed)
+        stream = self._index_stream(rng)
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         buckets: dict = {}
         try:
             while not self._stop.is_set():
-                idxs = [int(rng.integers(0, len(self.dataset))) for _ in range(self.batch_size)]
+                idxs = [next(stream) for _ in range(self.batch_size)]
                 for s in pool.map(self.dataset.__getitem__, idxs):
                     buckets.setdefault(self._bucket_key(s), []).append(s)
                 ready = [k for k, v in buckets.items() if len(v) >= self.batch_size]

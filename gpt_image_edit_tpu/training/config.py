@@ -72,6 +72,7 @@ class DatasetConfig:
     ocr_enhancer: bool = False          # inject OCR phrases (ref:qwen2vl_dataset.py:531-548)
     use_step1x_preprocessing: bool = False  # quote-protecting tokenize (ref :32-255)
     random_data: bool = False           # synthetic smoke mode (ref:qwen2vl_dataset.py:393-459)
+    notry: bool = False                 # surface dataset errors instead of resampling (ref :685-691)
     # Multi-resolution training: list of [h, w] buckets. Samples pick the
     # bucket closest to their target aspect and batches are built per-bucket
     # (the TPU answer to ref's hetero list-of-tensors, ref:train_denoiser.py:904-916).

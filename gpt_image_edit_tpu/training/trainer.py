@@ -89,6 +89,7 @@ def data_iterator(cfg: TrainDenoiseConfig, qcfg, vcfg=None) -> Iterator[Dict[str
         ocr_enhancer=dc.ocr_enhancer,
         use_step1x=dc.use_step1x_preprocessing,
         resolution_buckets=dc.resolution_buckets,
+        notry=dc.notry,
     )
     coll = Collator(qcfg.vision, padding_side=dc.padding_side)
     from gpt_image_edit_tpu.data.loader import BatchLoader
