@@ -5,17 +5,20 @@ Two forward strategies, picked by KV footprint:
 - **resident** (default, KV <= ~8MB VMEM per head): grid (B, H, num_q_blocks);
   K/V for the whole head live in VMEM and the online-softmax loop runs as a
   `fori_loop` whose (m, l, acc) carries stay in registers — no scratch
-  round-trips. ~72 TFLOPs on v5e at (8704, 24 heads, d128) vs ~42 for the
-  scratch-based variant and ~16 for splash attention.
+  round-trips. ~87 TFLOPs on v5e at (8704, 24 heads, d128), vs ~42 for the
+  scratch-based variant and ~16 for splash attention; block sweep confirms
+  512/512 blocks are optimal (softmax exp on the VPU is the remaining wall).
 - **grid** (long sequences): KV-block dimension as the innermost grid axis
   with (m, l, acc) in VMEM scratch across steps.
+- **int8** (`flash_attention_int8`, opt-in): QK^T/PV on the int8 MXU —
+  measured SLOWER than bf16 on v5e (exp-bound), kept for future hardware.
 
 Causal attention skips upper-triangle KV blocks entirely (loop bound / grid
 predicate). GQA indexes the KV head as hq // group in the BlockSpec index
 maps — no jnp.repeat materialization.
 
-The backward pass routes through an XLA recompute (custom_vjp); a Pallas
-backward kernel is the planned follow-up.
+The backward pass is the Pallas kernel in flash_attention_bwd.py (block-
+aligned resident shapes) with an XLA-recompute fallback for ragged shapes.
 
 Replaces flash-attn-2 in the reference stack (ref:train_denoiser.py:1633).
 """
@@ -143,9 +146,9 @@ def _resident_int8_kernel(
     Quantization contract (set up by flash_attention_int8):
       q = q_i8 * qs[row], k = k_i8 * ks[row], v = v_i8 * vs[col]
     Scores: (q_i8 @ k_i8^T) * qs_i * ks_j * scale — exact f32 softmax.
-    Probabilities are requantized at fixed scale 127 (p in [0,1] after the
-    running-max subtraction), so PV also runs int8; the 1/127 and the v
-    column scales factor out of acc/l and are applied outside the kernel.
+    Probabilities are requantized per row at this block's dynamic max, so PV
+    also runs int8; the v column scales factor out of acc/l and are applied
+    at the output write.
     """
     iq = pl.program_id(2)
     q = q_ref[0, 0]
@@ -232,8 +235,10 @@ def flash_attention_int8(
 
     q/k are quantized per (batch, head, position) row; v per (batch, head,
     feature) column so its scales factor out of the normalized accumulator.
-    Measured ~0.3-0.5% relative error vs the bf16 kernel; combine with W8A8
-    linear layers for the full int8-MXU serving mode."""
+    ~1-2% relative error on worst-case gaussian q/k (flat attention); ~6% end
+    -to-end budget in the tiny-FLUX W8A8 test. MEASURED SLOWER than the bf16
+    kernel on v5e (the kernel is exp/VPU-bound, not MXU-bound) — shipped as
+    the opt-in `--quantize w8a8-attn` experimental mode only."""
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     if scale is None:
