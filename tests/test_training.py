@@ -265,3 +265,57 @@ def test_weight_decay_kernels_only():
     assert float(jnp.abs(blk2["to_q"]["kernel"]).max()) > 0.0   # decayed
     assert float(jnp.abs(blk2["to_q"]["bias"]).max()) == 0.0    # no decay
     assert float(jnp.abs(blk2["norm_q"]["scale"]).max()) == 0.0  # no decay
+
+
+def test_gradient_accumulation_multisteps():
+    """gradient_accumulation_steps wraps the chain in optax.MultiSteps:
+    micro-step updates are zero until the accumulation boundary, where the
+    applied update equals one step on the MEAN gradient
+    (ref accelerate gradient_accumulation semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gpt_image_edit_tpu.training.config import ModelConfig, TrainingConfig
+    from gpt_image_edit_tpu.training.optimizer import build_optimizer
+
+    params = {
+        "flux": {
+            "dual_blocks": {
+                "attn": {"to_q": {"kernel": jnp.ones((1, 4, 4))}},
+            },
+        },
+    }
+    mc = ModelConfig(only_tune_mlp2=False, with_tune_mlp2=False,
+                     only_tune_image_branch=True)
+
+    def one_update(tc, grads_seq):
+        tx, _ = build_optimizer(params, tc, mc, 1, 0)
+        opt = tx.init(params)
+        p = params
+        outs = []
+        for g in grads_seq:
+            updates, opt = tx.update(g, opt, p)
+            p = optax.apply_updates(p, updates)
+            outs.append(updates)
+        return p, outs
+
+    g1 = jax.tree_util.tree_map(lambda x: jnp.full_like(x, 0.5), params)
+    g2 = jax.tree_util.tree_map(lambda x: jnp.full_like(x, 1.5), params)
+    gmean = jax.tree_util.tree_map(lambda x: jnp.full_like(x, 1.0), params)
+
+    tc_acc = TrainingConfig(learning_rate=1e-2, gradient_accumulation_steps=2,
+                            max_grad_norm=1e9)
+    p_acc, outs = one_update(tc_acc, [g1, g2])
+    # first micro-step applies nothing
+    first = outs[0]["flux"]["dual_blocks"]["attn"]["to_q"]["kernel"]
+    assert float(jnp.abs(first).max()) == 0.0
+
+    tc_one = TrainingConfig(learning_rate=1e-2, gradient_accumulation_steps=1,
+                            max_grad_norm=1e9)
+    p_one, _ = one_update(tc_one, [gmean])
+    np.testing.assert_allclose(
+        np.asarray(p_acc["flux"]["dual_blocks"]["attn"]["to_q"]["kernel"]),
+        np.asarray(p_one["flux"]["dual_blocks"]["attn"]["to_q"]["kernel"]),
+        rtol=1e-5,
+    )
