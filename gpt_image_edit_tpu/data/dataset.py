@@ -241,6 +241,7 @@ class EditDataset:
         spans = self.prompter.get_train_prompt(convo)
         input_ids: List[int] = []
         labels: List[int] = []
+        processed: List[str] = []
         grid_iter = iter(grids)
         cur_img = 0
         for text, is_label in spans:
@@ -278,6 +279,7 @@ class EditDataset:
                 )
                 cur_img += 1
             ids = self._encode(text)
+            processed.append(text)
             input_ids.extend(ids)
             labels.extend(ids if is_label else [IGNORE_INDEX] * len(ids))
 
@@ -308,5 +310,5 @@ class EditDataset:
             "target_pixels": target_pixels,
             "weight_tokens": weights,
             "instruction": instruction,
-            "prompt": "".join(t for t, _ in spans),
+            "prompt": "".join(processed),
         }
