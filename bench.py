@@ -61,7 +61,11 @@ def main():
         reps = 1
 
     def build(nd, ns):
-        cfg = dataclasses.replace(FluxConfig(), num_layers=nd, num_single_layers=ns)
+        # serving config: bf16 rope (measured -8..-11% step time, +0.17% err)
+        cfg = dataclasses.replace(
+            FluxConfig(), num_layers=nd, num_single_layers=ns,
+            rope_dtype="bfloat16",
+        )
         if not on_tpu:
             cfg = dataclasses.replace(
                 FluxConfig.tiny(), num_layers=nd, num_single_layers=ns
@@ -133,7 +137,10 @@ def main():
     #   W8A8 (int8 MXU matmuls)   — the fast serving mode (~22% faster).
     # Constructed shape-only (a bf16 tree first would OOM the chip).
     def _full_depth_int8(qkey):
-        cfg = dataclasses.replace(FluxConfig(), num_layers=19, num_single_layers=38)
+        cfg = dataclasses.replace(
+            FluxConfig(), num_layers=19, num_single_layers=38,
+            rope_dtype="bfloat16",
+        )
         abstract = jax.eval_shape(
             lambda key: init_flux(key, cfg, jnp.bfloat16), jax.random.key(0)
         )

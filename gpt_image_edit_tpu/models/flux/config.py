@@ -33,6 +33,10 @@ class FluxConfig:
     # attention dispatch: "auto" | "xla" | "pallas" | "pallas_int8"
     # (pallas_int8 = inference-only int8-MXU kernel for W8A8 serving)
     attention_impl: str = "auto"
+    # rope rotation dtype: "float32" = reference-faithful (diffusers
+    # apply_rotary_emb upcasts); "bfloat16" keeps the rotation + tables in
+    # bf16 — saves repeated f32 table traffic inside the block scans
+    rope_dtype: str = "float32"
 
     @property
     def inner_dim(self) -> int:

@@ -312,6 +312,8 @@ def apply(
             txt_ids = jnp.zeros((s_txt, 3), dtype=jnp.float32)
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
         cos, sin = flux_rope_freqs(ids, cfg.axes_dims_rope, cfg.rope_theta)
+    if cfg.rope_dtype == "bfloat16":
+        cos, sin = cos.astype(jnp.bfloat16), sin.astype(jnp.bfloat16)
 
     dual_fn = _dual_block
     single_fn = _single_block

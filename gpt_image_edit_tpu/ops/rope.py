@@ -48,9 +48,13 @@ def flux_rope_freqs(
 
 
 def apply_rope_paired(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """Rotate adjacent feature pairs. x: (..., S, D); cos/sin: (S, D) interleaved."""
+    """Rotate adjacent feature pairs. x: (..., S, D); cos/sin: (S, D).
+
+    Computes in the cos/sin dtype: f32 tables give the reference-faithful
+    fp32 rotation (diffusers apply_rotary_emb); passing bf16 tables keeps
+    the whole rotation in bf16 (fast-serving option, see FluxConfig.rope_dtype)."""
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x.astype(cos.dtype)
     x_even = xf[..., 0::2]
     x_odd = xf[..., 1::2]
     rotated = jnp.stack([-x_odd, x_even], axis=-1).reshape(xf.shape)

@@ -39,7 +39,8 @@ def build_models(cfg: TrainDenoiseConfig):
     if mc.tiny:
         qcfg = Qwen2p5VLConfig.tiny()
         fcfg = dataclasses.replace(
-            FluxConfig.tiny(), joint_attention_dim=qcfg.projector_out, remat=remat
+            FluxConfig.tiny(), joint_attention_dim=qcfg.projector_out,
+            remat=remat, rope_dtype=mc.rope_dtype,
         )
         vcfg = VaeConfig.tiny()
         params = {
@@ -56,7 +57,7 @@ def build_models(cfg: TrainDenoiseConfig):
     )
 
     qcfg = Qwen2p5VLConfig()
-    fcfg = dataclasses.replace(FluxConfig(), remat=remat)
+    fcfg = dataclasses.replace(FluxConfig(), remat=remat, rope_dtype=mc.rope_dtype)
     vcfg = VaeConfig()
     qwen, flux = load_merged_checkpoint(mc.pretrained_lvlm_name_or_path, qcfg, fcfg)
     vae_src = TensorSource.from_dir(mc.pretrained_denoiser_name_or_path)

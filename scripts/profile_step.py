@@ -84,8 +84,10 @@ def main():
     from gpt_image_edit_tpu.ops.packing import latent_image_ids
 
     attn_impl = "pallas_int8" if mode == "w8a8a" else "auto"
+    rope_dtype = "bfloat16" if "--bf16rope" in sys.argv else "float32"
     cfg = dataclasses.replace(
-        FluxConfig(), num_layers=nd, num_single_layers=ns, attention_impl=attn_impl
+        FluxConfig(), num_layers=nd, num_single_layers=ns,
+        attention_impl=attn_impl, rope_dtype=rope_dtype,
     )
     abstract = jax.eval_shape(lambda k: init_flux(k, cfg, jnp.bfloat16), jax.random.key(0))
     flat, _ = jax.tree_util.tree_flatten_with_path(abstract)

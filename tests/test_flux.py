@@ -137,3 +137,30 @@ class TestScheduler:
         shifted = shift_sigmas(s, mu)
         expected = math.exp(mu) * 0.5 / (1 + (math.exp(mu) - 1) * 0.5)
         assert abs(shifted[0] - expected) < 1e-9
+
+
+def test_rope_dtype_bf16_close():
+    """The bf16 fast-serving rope (FluxConfig.rope_dtype) stays within the
+    bf16 model's own rounding noise (measured 0.17% vs 0.62% on TPU)."""
+    import dataclasses
+
+    from gpt_image_edit_tpu.models.common import cast_floating
+
+    cfg = FluxConfig.tiny()
+    params = cast_floating(init_flux(jax.random.key(0), cfg), jnp.bfloat16)
+    kw = dict(
+        hidden_states=jax.random.normal(jax.random.key(1), (1, 96, cfg.in_channels), jnp.bfloat16),
+        encoder_hidden_states=jax.random.normal(
+            jax.random.key(2), (1, 16, cfg.joint_attention_dim), jnp.bfloat16
+        ),
+        pooled_projections=jnp.zeros((1, cfg.pooled_projection_dim), jnp.bfloat16),
+        timestep=jnp.full((1,), 0.4),
+        img_ids=latent_image_ids(8, 12),
+        guidance=jnp.full((1,), 3.5),
+    )
+    ref = apply_flux(params, cfg, **kw).astype(jnp.float32)
+    out = apply_flux(
+        params, dataclasses.replace(cfg, rope_dtype="bfloat16"), **kw
+    ).astype(jnp.float32)
+    rel = float(jnp.linalg.norm(ref - out) / jnp.linalg.norm(ref))
+    assert rel < 0.01, rel
