@@ -93,6 +93,10 @@ def trunk(
     cos, sin = mrope_freqs(
         position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta
     )
+    # HF Qwen rotates in the activation dtype (cos/sin cast to x.dtype);
+    # also saves re-slicing f32 tables inside the layer scan
+    cos = cos.astype(inputs_embeds.dtype)
+    sin = sin.astype(inputs_embeds.dtype)
 
     def body(carry, p):
         return _layer(p, carry, cos, sin, pad_mask, cfg), None
@@ -139,6 +143,8 @@ def prefill(
     b, s, _ = inputs_embeds.shape
     hk, hd = cfg.num_kv_heads, cfg.head_dim
     cos, sin = mrope_freqs(position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
+    cos = cos.astype(inputs_embeds.dtype)
+    sin = sin.astype(inputs_embeds.dtype)
 
     n_layers = cfg.num_layers
     cache_k = jnp.zeros((n_layers, b, max_len, hk, hd), inputs_embeds.dtype)
@@ -183,6 +189,8 @@ def decode_step(
     b = token_embed.shape[0]
     h, hk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     cos, sin = mrope_freqs(position_id, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
+    cos = cos.astype(token_embed.dtype)
+    sin = sin.astype(token_embed.dtype)
 
     def body(carry, xs):
         x = carry

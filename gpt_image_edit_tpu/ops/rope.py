@@ -99,9 +99,12 @@ def mrope_freqs(
 
 
 def apply_rope_halves(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """HF-convention rotation. x: (B, H, S, D); cos/sin: (B, S, D) or (S, D)."""
+    """HF-convention rotation. x: (B, H, S, D); cos/sin: (B, S, D) or (S, D).
+
+    Rotation runs in the table dtype — HF Qwen itself casts cos/sin to the
+    activation dtype (bf16 for bf16 models), so bf16 tables match HF."""
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x.astype(cos.dtype)
     if cos.ndim == 2:
         c = cos[None, None, :, :]
         s = sin[None, None, :, :]
