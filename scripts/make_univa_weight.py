@@ -20,6 +20,9 @@ import shutil
 
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 def remap_qwen_key(k: str) -> str:
     """New-transformers naming -> merged naming (ref wrapper save format)."""

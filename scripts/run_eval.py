@@ -20,6 +20,9 @@ import json
 import os
 import sys
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -1,0 +1,54 @@
+"""CLI-level smoke of the benchmark generation driver and the serve CLI —
+catches argument-wiring regressions the library tests can't
+(ref: the reference drives everything through step1_gen_samples.py CLIs)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu")
+
+
+def _run(args, timeout=600):
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=ENV,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def test_run_eval_imgedit_tiny(tmp_path):
+    rng = np.random.default_rng(0)
+    src = tmp_path / "imgs" / "a.png"
+    os.makedirs(src.parent)
+    Image.fromarray(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)).save(src)
+    bench = {"k1": {"id": "a.png", "prompt": "make it blue", "edit_type": "alter"}}
+    dj = tmp_path / "basic_edit.json"
+    dj.write_text(json.dumps(bench))
+    out_dir = tmp_path / "out"
+
+    p = _run([
+        "scripts/run_eval.py", "imgedit", "--tiny",
+        "--data_json", str(dj), "--image_root", str(tmp_path / "imgs"),
+        "--output_dir", str(out_dir), "--steps", "2",
+    ])
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert (out_dir / "k1.png").exists()
+
+
+def test_serve_cli_one_shot(tmp_path):
+    rng = np.random.default_rng(1)
+    src = tmp_path / "in.png"
+    Image.fromarray(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)).save(src)
+    out = tmp_path / "out.png"
+    p = _run([
+        "-m", "gpt_image_edit_tpu.serve.cli", "--tiny",
+        "--image", str(src), "--prompt", "make the sky dramatic",
+        "--output", str(out), "--steps", "2",
+    ])
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert out.exists()
