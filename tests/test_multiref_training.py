@@ -232,3 +232,39 @@ class TestResolutionBuckets:
             seen.add(shape[1:3])
         loader.stop()
         assert seen <= {(64, 64), (48, 96)}
+
+
+class TestOcrInjection:
+    def test_phrases_injected_before_eos(self, tmp_path, monkeypatch):
+        """OCR phrases are appended before the user turn's eos and the image
+        indices advance across images (ref:qwen2vl_dataset.py:531-548).
+        paddleocr isn't installed here, so the per-image extractor is
+        monkeypatched; the wiring is what's under test."""
+        from gpt_image_edit_tpu.utils import ocr as ocr_mod
+
+        calls = []
+
+        def fake_ocr(img, idx):
+            calls.append(idx)
+            return f'texts "SIGN{idx}" at top-left'
+
+        monkeypatch.setattr(ocr_mod, "ocr_phrases_for_image", fake_ocr)
+        item = _write_sample(tmp_path, "a", n_refs=2, instruction="read the signs")
+        ds = _dataset(tmp_path, [item], ocr_enhancer=True)
+        s = ds[0]
+        assert calls == [0, 1]
+        assert 'SIGN0' in s["prompt"] and 'SIGN1' in s["prompt"]
+        # injected into the user turn (before its <|im_end|>), not after
+        user_turn = s["prompt"].split("<|im_start|>assistant")[0]
+        assert "SIGN0" in user_turn
+
+    def test_word_budget_truncation(self, tmp_path, monkeypatch):
+        from gpt_image_edit_tpu.utils import ocr as ocr_mod
+
+        long_phrase = " ".join(f"w{i}" for i in range(300))
+        monkeypatch.setattr(ocr_mod, "ocr_phrases_for_image", lambda i, j: long_phrase)
+        item = _write_sample(tmp_path, "a", n_refs=1)
+        s = _dataset(tmp_path, [item], ocr_enhancer=True)[0]
+        # ref truncates the OCR sentence block at 256 words
+        injected = s["prompt"].split("<|im_start|>user\n")[1].split("<|im_end|>")[0]
+        assert "w255" in injected and "w256" not in injected
