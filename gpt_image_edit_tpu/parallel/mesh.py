@@ -4,9 +4,13 @@ The reference's distributed story is NCCL data-parallel + ZeRO
 (SURVEY.md §2.4). The TPU-native equivalent is one logical mesh with three
 axes and XLA collectives over ICI:
 
-- data:   pure data parallelism (DP replicas)
-- fsdp:   data parallelism + parameter/optimizer sharding (ZeRO-3 analogue)
-- tensor: tensor parallelism (Megatron-style sharded matmuls)
+- data:     pure data parallelism (DP replicas)
+- fsdp:     data parallelism + parameter/optimizer sharding (ZeRO-3 analogue)
+- tensor:   tensor parallelism (Megatron-style sharded matmuls)
+- sequence: RESERVED for sequence/context parallelism (size 1 today —
+  SURVEY §5: long-sequence efficiency comes from the flash kernel, but the
+  mesh keeps the axis available so sharding the token dim later needs no
+  re-plumbing; a size-1 axis is free under GSPMD)
 
 Batches are sharded over (data, fsdp); parameters over (fsdp, tensor).
 Under GSPMD any assignment is *correct* — the mesh only steers where
@@ -24,7 +28,8 @@ from jax.sharding import Mesh
 AXIS_DATA = "data"
 AXIS_FSDP = "fsdp"
 AXIS_TENSOR = "tensor"
-MESH_AXES = (AXIS_DATA, AXIS_FSDP, AXIS_TENSOR)
+AXIS_SEQUENCE = "sequence"
+MESH_AXES = (AXIS_DATA, AXIS_FSDP, AXIS_TENSOR, AXIS_SEQUENCE)
 # activation batch dim is sharded over both DP-ish axes
 BATCH_AXES = (AXIS_DATA, AXIS_FSDP)
 
@@ -56,5 +61,7 @@ def build_mesh(
     devices = devices[:n_devices]
     if shape is None:
         shape = mesh_shape_for(n_devices)
+    if len(shape) == len(MESH_AXES) - 1:
+        shape = tuple(shape) + (1,)  # reserved sequence axis, size 1
     arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, MESH_AXES)
