@@ -5,9 +5,15 @@ Two forward strategies, picked by KV footprint:
 - **resident** (default, KV <= ~8MB VMEM per head): grid (B, H, num_q_blocks);
   K/V for the whole head live in VMEM and the online-softmax loop runs as a
   `fori_loop` whose (m, l, acc) carries stay in registers — no scratch
-  round-trips. ~87 TFLOPs on v5e at (8704, 24 heads, d128), vs ~42 for the
-  scratch-based variant and ~16 for splash attention; block sweep confirms
-  512/512 blocks are optimal (softmax exp on the VPU is the remaining wall).
+  round-trips. The KV loop is unrolled in groups (VMEM-budgeted, up to 4) so
+  Mosaic overlaps the next block's QK dot (MXU) with the current block's
+  softmax (VPU), and the softmax runs in base-2 with log2(e) folded into the
+  QK scale (exp2 is the cheaper VPU op). 138.6 TFLOP/s effective on v5e at
+  the MMDiT serving shape (8704, 24 heads, d128), 6.72 ms/call — vs 119 for
+  the plain loop, ~42 for the scratch-based variant and ~16 for splash
+  attention; block sweep confirms 512/512 blocks are optimal. A kv-side-
+  padding-only mask lowers to an additive f32 bias row (7.52 ms/call vs 9.35
+  for segment masking).
 - **grid** (long sequences): KV-block dimension as the innermost grid axis
   with (m, l, acc) in VMEM scratch across steps.
 - **int8** (`flash_attention_int8`, opt-in): QK^T/PV on the int8 MXU —
@@ -41,6 +47,10 @@ _RESIDENT_KV_BYTES = 8 * 1024 * 1024
 # resident-KV kernel: fori_loop over KV, carries in registers
 # --------------------------------------------------------------------------
 
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
+
+
 def _resident_kernel(
     q_ref,     # (1, 1, bq, d)
     k_ref,     # (1, 1, skv, d)
@@ -57,7 +67,16 @@ def _resident_kernel(
     skv: int,
     has_segments: bool,
     need_lse: bool,
+    unroll: int = 1,
+    use_kv_bias: bool = False,
 ):
+    """Online softmax in base-2: log2(e)*scale folds into the QK scale and
+    exp -> exp2 (the FA2 trick; exp2 is the cheaper VPU op). The KV loop is
+    manually unrolled by `unroll`: all QK dots of a group are issued in one
+    basic block, so Mosaic overlaps the MXU dot of block i+1 with the VPU
+    softmax of block i (measured 7.8 -> 6.7 ms at the MMDiT serving shape
+    (8704, 24 heads, d128) on v5e, 140 TFLOP/s effective). The saved LSE is
+    converted back to natural-log units for the backward kernels."""
     iq = pl.program_id(2)
     q = q_ref[0, 0]
     bq, d = q.shape
@@ -69,15 +88,25 @@ def _resident_kernel(
         hi = nkv
 
     qseg = qseg_ref[0, 0, :] if has_segments else None
+    scale2 = scale * _LOG2E
 
-    def body(i, carry):
-        m, l, acc = carry
+    # kv-bias fast path (kv-side padding only): kseg_ref holds a f32 additive
+    # bias row (0 = attend, _NEG_INF = masked key) — one VPU add per element
+    # instead of segment compare + two selects. Requires >=1 valid key per
+    # row (true for the MMDiT joint sequence: image tokens are never padded).
+
+    def qk(i):
         k = k_ref[0, 0, pl.ds(i * block_kv, block_kv), :]
-        v = v_ref[0, 0, pl.ds(i * block_kv, block_kv), :]
-        s = jax.lax.dot_general(
+        return jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ) * scale2
 
+    def absorb(i, s, carry):
+        m, l, acc = carry
+        v = v_ref[0, 0, pl.ds(i * block_kv, block_kv), :]
+
+        if use_kv_bias:
+            s = s + kseg_ref[0, 0, pl.ds(i * block_kv, block_kv)][None, :]
         keep = None
         if has_segments:
             kseg = kseg_ref[0, 0, pl.ds(i * block_kv, block_kv)]
@@ -98,10 +127,10 @@ def _resident_kernel(
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_cur)
-        p = jnp.exp(s - m_new)
+        p = jnp.exp2(s - m_new)
         if keep is not None:
             p = jnp.where(keep, p, 0.0)
-        alpha = jnp.exp(m - m_new)
+        alpha = jnp.exp2(m - m_new)
         l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -112,11 +141,30 @@ def _resident_kernel(
     m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
     a0 = jnp.zeros((bq, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, hi, body, (m0, l0, a0))
+    carry = (m0, l0, a0)
+    if unroll > 1:
+        ngroups = hi // unroll
+
+        def body_group(j, carry):
+            i0 = j * unroll
+            ss = [qk(i0 + t) for t in range(unroll)]
+            for t in range(unroll):
+                carry = absorb(i0 + t, ss[t], carry)
+            return carry
+
+        carry = jax.lax.fori_loop(0, ngroups, body_group, carry)
+        lo_tail = ngroups * unroll
+    else:
+        lo_tail = 0
+    carry = jax.lax.fori_loop(
+        lo_tail, hi, lambda i, c: absorb(i, qk(i), c), carry
+    )
+    m, l, acc = carry
     l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> zeros
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
     if need_lse:
-        lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log(l), lse_ref.shape[2:])
+        # natural-log LSE: m is in base-2 units, l is base-free
+        lse_ref[0, 0] = jnp.broadcast_to(m * _LN2 + jnp.log(l), lse_ref.shape[2:])
 
 
 # --------------------------------------------------------------------------
@@ -170,7 +218,7 @@ def _resident_int8_kernel(
         s_i32 = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
         )
-        s = s_i32.astype(jnp.float32) * (qs * ks) * scale
+        s = s_i32.astype(jnp.float32) * (qs * ks) * (scale * _LOG2E)
 
         keep = None
         if has_segments:
@@ -192,10 +240,10 @@ def _resident_int8_kernel(
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_cur)
-        p = jnp.exp(s - m_new)
+        p = jnp.exp2(s - m_new)
         if keep is not None:
             p = jnp.where(keep, p, 0.0)
-        alpha = jnp.exp(m - m_new)
+        alpha = jnp.exp2(m - m_new)
         l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
         # requantize p with a per-row DYNAMIC scale (this block's row max,
         # not the global 1.0): blocks dominated by earlier maxima still get
@@ -402,7 +450,8 @@ def _grid_kernel(
 # --------------------------------------------------------------------------
 
 def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
-               has_segments=True, interpret=False, need_lse=True):
+               has_segments=True, interpret=False, need_lse=True,
+               use_kv_bias=False):
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     group = hq // hkv
@@ -416,6 +465,19 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
     nq = pl.cdiv(sq, block_q)
 
     resident = skv * d * 2 * k.dtype.itemsize <= _RESIDENT_KV_BYTES
+
+    # KV-loop unroll: each in-flight block holds its f32 scores (+ bf16 probs,
+    # + mask work when masking) in VMEM; budget against the 16MB scope with
+    # the resident K/V. Masked paths get a lower cap (extra per-block buffers).
+    kv_bytes = 2 * skv * d * k.dtype.itemsize
+    heavy_mask = has_segments or causal
+    per_block = block_q * block_kv * (8 if heavy_mask else 6)
+    cap = 2 if heavy_mask else 4
+    # the LSE residual (training fwd) keeps extra f32 state live: u4 at the
+    # MMDiT serving shape measured 16.10MB (>16MB scope) with LSE vs ~15.5MB
+    # without — discount the budget so that path lands on unroll=3
+    budget = (10 if need_lse else 13) * 1024 * 1024
+    unroll = max(1, min(cap, (budget - kv_bytes) // max(per_block, 1)))
 
     # lse is only needed as a residual for the backward kernels; at inference
     # (primal path) a dummy 8-row buffer avoids a 107MB fp32 write per call
@@ -439,7 +501,7 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
                 _resident_kernel,
                 scale=scale, causal=causal, block_q=block_q,
                 block_kv=block_kv, skv=skv, has_segments=has_segments,
-                need_lse=need_lse,
+                need_lse=need_lse, unroll=unroll, use_kv_bias=use_kv_bias,
             ),
             grid=(b, hq, nq),
             in_specs=[
@@ -519,12 +581,14 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
     return out.transpose(0, 2, 1, 3), lse, resident
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _flash_attention_core(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
-                          has_segments, interpret=False):
-    # primal (non-differentiated) path: skip the LSE residual entirely
+                          has_segments, interpret=False, use_kv_bias=False):
+    # primal (non-differentiated) path: skip the LSE residual entirely.
+    # In kv-bias mode, kv_seg holds the f32 additive bias row instead.
     out, _, _ = _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
-                           has_segments, interpret, need_lse=False)
+                           has_segments, interpret, need_lse=False,
+                           use_kv_bias=use_kv_bias)
     return out
 
 
@@ -538,16 +602,21 @@ def _xla_reference(q, k, v, q_seg, kv_seg, causal, scale):
 
 
 def _core_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
-              has_segments, interpret=False):
+              has_segments, interpret=False, use_kv_bias=False):
     out, lse, resident = _flash_fwd(
         q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
-        has_segments, interpret, need_lse=True,
+        has_segments, interpret, need_lse=True, use_kv_bias=use_kv_bias,
     )
     return out, (q, k, v, out, lse, q_seg, kv_seg, resident)
 
 
-def _core_bwd(causal, scale, block_q, block_kv, has_segments, interpret, res, g):
+def _core_bwd(causal, scale, block_q, block_kv, has_segments, interpret,
+              use_kv_bias, res, g):
     q, k, v, o, lse, q_seg, kv_seg, resident = res
+    if use_kv_bias:
+        # reconstruct int segment ids from the f32 bias row for the bwd kernel
+        kv_seg = jnp.where(kv_seg < -1.0, -1, 0).astype(jnp.int32)
+        has_segments = True
     b, sq, hq, d = q.shape
     skv = k.shape[1]
     if resident and sq % block_q == 0 and skv % block_kv == 0:
@@ -606,6 +675,28 @@ def flash_attention(
         q_seg = jnp.zeros((b, sq), jnp.int32)
     else:
         q_seg = q_segment_ids.astype(jnp.int32)
+
+    # kv-side-padding-only masking (the MMDiT joint-attention case: prompt
+    # bucketing pads text keys, queries are uniform) lowers to an additive
+    # f32 bias row in the resident kernel — measured ~1.2 ms/call cheaper
+    # than segment masking at the serving shape. Equivalent to the segment
+    # path whenever every query row has >=1 valid key.
+    use_kv_bias = (
+        q_segment_ids is None
+        and kv_segment_ids is None
+        and pad_mask is not None
+        and not causal
+        and skv * d * 2 * k.dtype.itemsize <= _RESIDENT_KV_BYTES
+    )
+    if use_kv_bias:
+        kv_op = jnp.where(
+            pad_mask.astype(jnp.bool_), 0.0, _NEG_INF
+        ).astype(jnp.float32)
+        return _flash_attention_core(
+            q, k, v, q_seg, kv_op, causal, scale, block_q, block_kv,
+            False, interpret, True
+        )
+
     kv_seg = _merge_kv_seg(kv_segment_ids, pad_mask, b, skv)
     has_segments = not (
         q_segment_ids is None and kv_segment_ids is None and pad_mask is None

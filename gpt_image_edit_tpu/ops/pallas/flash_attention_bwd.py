@@ -24,6 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LOG2E = 1.4426950408889634
 
 
 def _dq_kernel(
@@ -44,13 +45,15 @@ def _dq_kernel(
     )
     qseg = qseg_ref[0, 0, :] if has_segments else None
 
+    lse2 = lse * _LOG2E  # base-2 units (matches the exp2-folded QK scale)
+
     def body(i, dq):
         k = k_ref[0, 0, pl.ds(i * block_kv, block_kv), :]
         v = v_ref[0, 0, pl.ds(i * block_kv, block_kv), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        p = jnp.exp(s - lse)
+        ) * (scale * _LOG2E)
+        p = jnp.exp2(s - lse2)
         keep = None
         if has_segments:
             kseg = kseg_ref[0, 0, pl.ds(i * block_kv, block_kv)]
@@ -107,8 +110,8 @@ def _dkv_kernel(
         delta = delta_ref[0, 0, :, :1]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        p = jnp.exp(s - lse)             # (bq, bkv)
+        ) * (scale * _LOG2E)
+        p = jnp.exp2(s - lse * _LOG2E)   # (bq, bkv), base-2 folded
         keep = None
         if has_segments:
             qseg = qseg_ref[0, 0, :]

@@ -496,9 +496,13 @@ class UnivaRuntime:
             [instruction], max_sequence_length
         )
         height, width = update_size(image)
+        if self.vcfg.downscale != 8:  # tiny demo: keep it small
+            height = width = 8 * self.vcfg.downscale
         cond = None
         if image is not None:
             bw, bh = pick_kontext_resolution(image.width, image.height)
+            if self.vcfg.downscale != 8:
+                bw = bh = height
             cond = jnp.asarray(preprocess_vae_image(image, bh, bw))[None]
         rng = jax.random.key(seed) if seed is not None else self.rng
         self.rng, sample_rng = jax.random.split(rng)

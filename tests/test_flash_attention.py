@@ -57,9 +57,30 @@ class TestFlashAttention:
             causal=True,
         )
 
+    def test_pad_mask_only_kv_bias_path(self):
+        """pad_mask without segment ids lowers to the f32 kv-bias fast path;
+        must match the XLA reference exactly like the segment path does."""
+        b, s, h, d = 2, 256, 2, 64
+        q, k, v = (_rand((b, s, h, d), i) for i in range(3))
+        pad = jnp.asarray(np.ones((b, s), bool)).at[0, -32:].set(False)
+        pad = pad.at[1, -96:].set(False)
+        _cmp(q, k, v, pad_mask=pad)
+
+    def test_unroll_group_and_tail(self):
+        """5 kv blocks = one unroll-4 group + 1 tail block (and causal makes
+        the loop bound dynamic); exercises both loops in the kernel."""
+        b, s, h, d = 1, 640, 2, 64
+        _cmp(
+            _rand((b, s, h, d), 6), _rand((b, s, h, d), 7), _rand((b, s, h, d), 8),
+        )
+        _cmp(
+            _rand((b, s, h, d), 6), _rand((b, s, h, d), 7), _rand((b, s, h, d), 8),
+            causal=True,
+        )
+
     @pytest.mark.parametrize(
         "case",
-        ["full", "causal", "gqa", "segments"],
+        ["full", "causal", "gqa", "segments", "pad_only"],
     )
     def test_gradients_match_xla(self, case):
         """Pallas bwd kernels (dq/dkv) vs XLA autodiff."""
@@ -70,6 +91,9 @@ class TestFlashAttention:
         if case == "segments":
             seg = jnp.asarray(np.repeat(np.arange(2), 128)[None])
             kw = dict(q_segment_ids=seg, kv_segment_ids=seg)
+        if case == "pad_only":
+            # kv-bias fwd path; bwd reconstructs segment ids from the bias
+            kw = dict(pad_mask=jnp.ones((b, s), bool).at[:, -64:].set(False))
 
         q = _rand((b, s, h, d), 0)
         k = _rand((b, s, hkv, d), 1)

@@ -95,3 +95,46 @@ class TestEditPaths:
         assert k1["input_ids"].shape[1] % 64 == 0
         # left padding: attention zeros at the left edge
         assert int(k1["attention_mask"][0, 0]) == 0
+
+
+class _FakeT5Encoders:
+    """Stands in for FluxTextEncoders in the T5-only ablation test (no real
+    T5-XXL/CLIP checkpoints exist in this environment)."""
+
+    def __init__(self, joint_dim, pooled_dim):
+        self.joint_dim = joint_dim
+        self.pooled_dim = pooled_dim
+
+    def encode_prompt(self, prompts, max_sequence_length=512):
+        import jax.numpy as jnp
+
+        b = len(prompts)
+        rng = np.random.default_rng(abs(hash(tuple(prompts))) % (2**31))
+        embeds = jnp.asarray(
+            rng.standard_normal((b, max_sequence_length, self.joint_dim)) * 0.02,
+            jnp.float32,
+        )
+        pooled = jnp.asarray(
+            rng.standard_normal((b, self.pooled_dim)) * 0.02, jnp.float32
+        )
+        return embeds, pooled
+
+
+class TestT5OnlyAblation:
+    def test_edit_t5_only_e2e(self):
+        """Drives runtime.edit_t5_only end-to-end (the reference's
+        step1_gen_samples_T5_only ablation, ref:univa/eval/imgedit/
+        step1_gen_samples_T5_only.py) with a stand-in text encoder."""
+        rt = UnivaRuntime(tiny=True)
+        rt.text_encoders = _FakeT5Encoders(
+            rt.fcfg.joint_attention_dim, rt.fcfg.pooled_projection_dim
+        )
+        out = rt.edit_t5_only(
+            "add a red balloon", _img(7), steps=2, max_sequence_length=16, seed=3
+        )
+        assert out.size[0] > 0 and out.size[1] > 0
+        # determinism under a fixed seed
+        out2 = rt.edit_t5_only(
+            "add a red balloon", _img(7), steps=2, max_sequence_length=16, seed=3
+        )
+        assert np.array_equal(np.asarray(out), np.asarray(out2))
