@@ -1,0 +1,162 @@
+"""Ring attention: context/sequence-parallel attention over a mesh axis.
+
+The reference has no sequence parallelism (its max joint sequence, 8704
+tokens at 1024^2 + one reference image, fits one GPU); SURVEY §5 reserved a
+`sequence` mesh axis for it. This module makes that axis real: Q stays
+local to each shard, K/V (and the per-key pad mask) rotate around the ring
+via `jax.lax.ppermute`, and an online-softmax carry merges the per-hop
+partials — the TPU-native formulation of Ring Attention (ICI neighbor
+exchange instead of NCCL P2P), with compute/communication overlap left to
+XLA's async collective scheduling.
+
+Written as plain jnp ops inside `lax.scan`, so `jax.grad` differentiates it
+through ppermute's transpose rule — no custom VJP needed; the backward pass
+is itself a ring (reverse permutation) by construction.
+
+Use `ring_attention` INSIDE a `shard_map` over the sequence axis (q/k/v are
+the local shards), or the `context_parallel_attention` convenience wrapper
+which shard_maps a globally-sharded BSHD tensor for you.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    axis_name: str,
+    pad_mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Sequence-parallel attention on per-shard inputs (call under shard_map).
+
+    Args:
+      q: (B, Sq_local, Hq, D) — this shard's queries (stay resident).
+      k, v: (B, Skv_local, Hkv, D) — this shard's keys/values (rotate).
+      axis_name: mesh axis the sequence dim is sharded over.
+      pad_mask: (B, Skv_local) bool — this shard's key validity (rotates
+        with K/V). 1 = attend.
+      causal: global causal mask; uses global token positions reconstructed
+        from the shard index, assuming equal contiguous shards in ring order.
+      scale: defaults to D ** -0.5.
+    Returns: (B, Sq_local, Hq, D) in q.dtype.
+    """
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    if scale is None:
+        scale = d ** -0.5
+    if hq != hkv:
+        assert hq % hkv == 0, f"GQA requires Hq % Hkv == 0, got {hq}, {hkv}"
+        k = jnp.repeat(k, hq // hkv, axis=2)
+        v = jnp.repeat(v, hq // hkv, axis=2)
+
+    n = jax.lax.psum(1, axis_name)          # ring size (static)
+    idx = jax.lax.axis_index(axis_name)     # this shard's position
+    perm = [(i, (i - 1) % n) for i in range(n)]  # receive from the right:
+    # after hop t, this shard holds the K/V of shard (idx + t) % n, so every
+    # shard sees every KV block exactly once over n hops.
+
+    if pad_mask is None:  # replicated literal -> shard-varying (it rotates)
+        pad_mask = jax.lax.pcast(
+            jnp.ones((b, skv), jnp.bool_), (axis_name,), to="varying"
+        )
+    pad_mask = pad_mask.astype(jnp.bool_)
+
+    q32 = q.astype(jnp.float32)
+    q_pos = idx * sq + jnp.arange(sq)  # global query positions
+
+    def hop(carry, t):
+        k_c, v_c, mask_c, m, l, acc = carry
+        s = jnp.einsum(
+            "bqhd,bkhd->bhqk", q32, k_c.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        keep = mask_c[:, None, None, :]
+        if causal:
+            src = (idx + t) % n  # whose KV block this hop holds
+            k_pos = src * skv + jnp.arange(skv)
+            keep = jnp.logical_and(keep, (k_pos[None, :] <= q_pos[:, None])[None, None])
+        s = jnp.where(keep, s, _NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_cur)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(keep, p, 0.0)
+        alpha = jnp.exp(m - m_new)
+        l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        # alpha is (B, H, Sq, 1); the accumulator is BSHD
+        acc = acc * alpha[..., 0].transpose(0, 2, 1)[..., None] + jnp.einsum(
+            "bhqk,bkhd->bqhd", p, v_c.astype(jnp.float32)
+        )
+
+        k_n = jax.lax.ppermute(k_c, axis_name, perm)
+        v_n = jax.lax.ppermute(v_c, axis_name, perm)
+        mask_n = jax.lax.ppermute(mask_c, axis_name, perm)
+        return (k_n, v_n, mask_n, m_new, l, acc), None
+
+    m0 = jnp.full((b, hq, sq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, hq, sq, 1), jnp.float32)
+    a0 = jnp.zeros((b, sq, hq, d), jnp.float32)
+    # replicated literals -> per-shard ("varying") values, as the scan carry
+    # becomes shard-varying after the first ppermute hop
+    m0, l0, a0 = (
+        jax.lax.pcast(x, (axis_name,), to="varying") for x in (m0, l0, a0)
+    )
+    (_, _, _, m, l, acc), _ = jax.lax.scan(
+        hop, (k, v, pad_mask, m0, l0, a0), jnp.arange(n)
+    )
+    l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> zeros
+    # (B, H, Sq, 1) -> (B, Sq, H, 1) to divide the BSHD accumulator
+    denom = l[..., 0].transpose(0, 2, 1)[..., None]
+    return (acc / denom).astype(q.dtype)
+
+
+def context_parallel_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    axis_name: str = "sequence",
+    pad_mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Globally-shaped convenience wrapper: shards the sequence dim of BSHD
+    q/k/v over `axis_name`, runs ring_attention, returns the global output
+    (sharded the same way). Sq and Skv must divide the axis size."""
+    fn = functools.partial(
+        ring_attention, axis_name=axis_name, causal=causal, scale=scale
+    )
+    qspec = P(None, axis_name, None, None)
+    mspec = P(None, axis_name)
+
+    if pad_mask is not None:
+        def mapped(q, k, v, pm):
+            return fn(q, k, v, pad_mask=pm)
+        out = jax.shard_map(
+            mapped, mesh=mesh,
+            in_specs=(qspec, qspec, qspec, mspec),
+            out_specs=qspec,
+        )(q, k, v, pad_mask)
+    else:
+        def mapped(q, k, v):
+            return fn(q, k, v)
+        out = jax.shard_map(
+            mapped, mesh=mesh,
+            in_specs=(qspec, qspec, qspec),
+            out_specs=qspec,
+        )(q, k, v)
+    return out
