@@ -39,34 +39,46 @@ def linear_init(
     return p
 
 
+def quantize_rows(x: jnp.ndarray):
+    """Dynamic per-row int8 activation quantization: (qx int8, scale f32)."""
+    xf = x.astype(jnp.float32)
+    s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s_x = jnp.maximum(s_x, 1e-8)
+    qx = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    return qx, s_x
+
+
+def _w8a8_matmul(kernel: Params, qx, s_x, out_dtype) -> jnp.ndarray:
+    """int8 MXU matmul + dequant epilogue (no bias).
+
+    The dequant epilogue runs in bf16 (int32 acc -> bf16, then the two
+    broadcast scale muls): measured ~4% faster full-model step than the
+    f32 epilogue, which XLA materialized as a 427MB f32 intermediate
+    per 12288-wide matmul; added rounding error is ~2^-9 per element,
+    well under the int8 quantization error itself.
+    """
+    acc = jax.lax.dot_general(
+        qx, kernel["q_w8a8"],
+        (((qx.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    import os as _os
+
+    if _os.environ.get("GIE_W8A8_EPILOGUE", "bf16") == "f32":
+        return (acc.astype(jnp.float32) * s_x * kernel["scale"][..., 0, :]).astype(out_dtype)
+    return (
+        acc.astype(jnp.bfloat16)
+        * s_x.astype(jnp.bfloat16)
+        * kernel["scale"][..., 0, :].astype(jnp.bfloat16)
+    ).astype(out_dtype)
+
+
 def linear(p: Params, x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
     kernel = p["kernel"]
     if isinstance(kernel, dict) and "q_w8a8" in kernel:
-        # W8A8: dynamic per-row activation quant, int8 MXU matmul, dequant.
-        # The dequant epilogue runs in bf16 (int32 acc -> bf16, then the two
-        # broadcast scale muls): measured ~4% faster full-model step than the
-        # f32 epilogue, which XLA materialized as a 427MB f32 intermediate
-        # per 12288-wide matmul; added rounding error is ~2^-9 per element,
-        # well under the int8 quantization error itself.
-        xf = x.astype(jnp.float32)
-        s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-        s_x = jnp.maximum(s_x, 1e-8)
-        qx = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            qx, kernel["q_w8a8"],
-            (((qx.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        import os as _os
-
-        if _os.environ.get("GIE_W8A8_EPILOGUE", "bf16") == "f32":
-            y = (acc.astype(jnp.float32) * s_x * kernel["scale"][..., 0, :]).astype(x.dtype)
-        else:
-            y = (
-                acc.astype(jnp.bfloat16)
-                * s_x.astype(jnp.bfloat16)
-                * kernel["scale"][..., 0, :].astype(jnp.bfloat16)
-            ).astype(x.dtype)
+        # W8A8: dynamic per-row activation quant, int8 MXU matmul, dequant
+        qx, s_x = quantize_rows(x)
+        y = _w8a8_matmul(kernel, qx, s_x, x.dtype)
         if "bias" in p:
             y = y + p["bias"].astype(x.dtype)
         return y
@@ -77,6 +89,62 @@ def linear(p: Params, x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
     y = jnp.dot(x, kernel, precision=precision)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def linear_multi(ps, x: jnp.ndarray):
+    """Apply several linear heads to ONE activation tensor.
+
+    For W8A8 kernels the per-row activation quantization (absmax reduce +
+    round/clamp pass over x) is computed ONCE and shared — the naive
+    per-head `linear` calls re-quantized the same (S, 3072) tensor for each
+    of to_q/to_k/to_v/proj_mlp, 4 redundant HBM passes per block at serving
+    width. Bitwise-identical to per-head `linear` (same qx, s_x).
+    """
+    shared = None
+    outs = []
+    for p in ps:
+        kernel = p["kernel"]
+        if isinstance(kernel, dict) and "q_w8a8" in kernel:
+            if shared is None:
+                shared = quantize_rows(x)
+            y = _w8a8_matmul(kernel, *shared, x.dtype)
+            if "bias" in p:
+                y = y + p["bias"].astype(x.dtype)
+            outs.append(y)
+        else:
+            outs.append(linear(p, x))
+    return outs
+
+
+def linear_concat(p: Params, parts) -> jnp.ndarray:
+    """`concat(parts, -1) @ kernel` with the matmul SPLIT per part when the
+    kernel is W8A8.
+
+    A concat-spanning absmax row reduce cannot fuse into either producer's
+    epilogue, which made XLA materialize the 12288-wide gelu activation of
+    the FLUX single blocks twice (426MB extra HBM traffic per block).
+    Splitting gives each part its own dynamic activation scale (strictly
+    better precision) and partial int32 matmuls that dequant-sum in the
+    epilogue; same MAC count.
+    """
+    kernel = p["kernel"]
+    if not (isinstance(kernel, dict) and "q_w8a8" in kernel):
+        return linear(p, jnp.concatenate(parts, axis=-1))
+    off = 0
+    y = None
+    for x in parts:
+        w = {
+            "q_w8a8": kernel["q_w8a8"][off:off + x.shape[-1]],
+            "scale": kernel["scale"],
+        }
+        qx, s_x = quantize_rows(x)
+        part = _w8a8_matmul(w, qx, s_x, x.dtype)
+        y = part if y is None else y + part
+        off += x.shape[-1]
+    assert off == kernel["q_w8a8"].shape[0], (off, kernel["q_w8a8"].shape)
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
     return y
 
 

@@ -28,7 +28,9 @@ import jax.numpy as jnp
 from gpt_image_edit_tpu.models.common import (
     Params,
     linear,
+    linear_concat,
     linear_init,
+    linear_multi,
     rms_weight_init,
 )
 from gpt_image_edit_tpu.models.flux.config import FluxConfig
@@ -172,12 +174,17 @@ def _joint_attention(
     def heads(x):
         return x.reshape(b, -1, h, hd)
 
-    q_i = _qk_norm_heads(heads(linear(p["to_q"], img)), p["norm_q"])
-    k_i = _qk_norm_heads(heads(linear(p["to_k"], img)), p["norm_k"])
-    v_i = heads(linear(p["to_v"], img))
-    q_t = _qk_norm_heads(heads(linear(p["add_q_proj"], txt)), p["norm_added_q"])
-    k_t = _qk_norm_heads(heads(linear(p["add_k_proj"], txt)), p["norm_added_k"])
-    v_t = heads(linear(p["add_v_proj"], txt))
+    # one shared activation quantization per stream in W8A8 mode
+    lq_i, lk_i, lv_i = linear_multi([p["to_q"], p["to_k"], p["to_v"]], img)
+    lq_t, lk_t, lv_t = linear_multi(
+        [p["add_q_proj"], p["add_k_proj"], p["add_v_proj"]], txt
+    )
+    q_i = _qk_norm_heads(heads(lq_i), p["norm_q"])
+    k_i = _qk_norm_heads(heads(lk_i), p["norm_k"])
+    v_i = heads(lv_i)
+    q_t = _qk_norm_heads(heads(lq_t), p["norm_added_q"])
+    k_t = _qk_norm_heads(heads(lk_t), p["norm_added_k"])
+    v_t = heads(lv_t)
 
     # Text tokens first, matching diffusers' joint-attention concat order.
     q = jnp.concatenate([q_t, q_i], axis=1)
@@ -245,21 +252,28 @@ def _single_block(
     shift, scale, gate = _adaln(p["norm"], temb, 3)
     x_mod = modulate(layer_norm(x, eps=1e-6), shift, scale)
 
-    mlp = jax.nn.gelu(linear(p["proj_mlp"], x_mod), approximate=True)
+    # one shared activation quantization of x_mod across all four heads
+    lq, lk, lv, mlp_h = linear_multi(
+        [p["attn"]["to_q"], p["attn"]["to_k"], p["attn"]["to_v"], p["proj_mlp"]],
+        x_mod,
+    )
+    mlp = jax.nn.gelu(mlp_h, approximate=True)
 
     def heads(y):
         return y.reshape(b, s, h, hd)
 
-    q = _qk_norm_heads(heads(linear(p["attn"]["to_q"], x_mod)), p["attn"]["norm_q"])
-    k = _qk_norm_heads(heads(linear(p["attn"]["to_k"], x_mod)), p["attn"]["norm_k"])
-    v = heads(linear(p["attn"]["to_v"], x_mod))
+    q = _qk_norm_heads(heads(lq), p["attn"]["norm_q"])
+    k = _qk_norm_heads(heads(lk), p["attn"]["norm_k"])
+    v = heads(lv)
     q = apply_rope_paired(q.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
     k = apply_rope_paired(k.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
     attn = dot_product_attention(
         q, k, v, pad_mask=pad_mask, impl=cfg.attention_impl
     ).reshape(b, s, d)
 
-    out = linear(p["proj_out"], jnp.concatenate([attn, mlp], axis=-1))
+    # split concat matmul in W8A8 mode: per-part activation scales, and the
+    # gelu absmax reduce can fuse into its producer (no double materialize)
+    out = linear_concat(p["proj_out"], [attn, mlp])
     return x + gate[:, None, :] * out
 
 

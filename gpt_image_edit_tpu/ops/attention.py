@@ -102,6 +102,23 @@ def dot_product_attention(
             scale=scale,
         )
 
+    if impl == "pallas_qk8":
+        # inference-only: int8 QK^T (2x MXU), bf16 PV — far lower error than
+        # full int8 since q/k are RMS-normalized in every model here
+        from gpt_image_edit_tpu.ops.pallas.flash_attention import (
+            flash_attention_qk8,
+        )
+
+        assert not causal and q_segment_ids is None and kv_segment_ids is None
+        return flash_attention_qk8(
+            q,
+            k,
+            v,
+            pad_mask=pad_mask,
+            scale=scale,
+            interpret=jax.devices()[0].platform != "tpu",
+        )
+
     if impl == "pallas_int8":
         # inference-only int8-MXU fast path (serving --quantize w8a8 mode)
         from gpt_image_edit_tpu.ops.pallas.flash_attention import (

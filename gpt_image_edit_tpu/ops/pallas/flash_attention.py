@@ -373,6 +373,187 @@ def flash_attention_int8(
 
 
 # --------------------------------------------------------------------------
+# qk8 resident kernel: QK^T on the int8 MXU, PV stays bf16 (inference only)
+# --------------------------------------------------------------------------
+
+def _resident_qk8_kernel(
+    q_ref,      # (1, 1, bq, d)   int8
+    k_ref,      # (1, 1, skv, d)  int8
+    v_ref,      # (1, 1, skv, d)  v.dtype (bf16)
+    qs_ref,     # (1, 1, bq)      f32 per-row q scale
+    ks_ref,     # (1, 1, skv)     f32 per-row k scale
+    kbias_ref,  # (1, 1, skv)     f32 additive key bias (0 / -inf), optional
+    o_ref,      # (1, 1, bq, d)
+    *,
+    scale: float,
+    block_kv: int,
+    skv: int,
+    use_kv_bias: bool,
+    unroll: int,
+):
+    """Half-int8 flash attention: scores on the int8 MXU (2x bf16 MXU
+    throughput), exact f32 softmax, PV in bf16. Rationale: q/k are RMS-
+    normalized in every attention of this framework (FLUX qk_norm, Qwen ViT),
+    so per-row int8 on them is benign, while PV in int8 (the full-int8
+    kernel) needs a lossy per-block requantization of p — measured ~6x the
+    output error for <1ms/call extra win. Same unroll-group structure as the
+    bf16 kernel (MXU dot of block i+1 overlaps the VPU softmax of block i)."""
+    q = q_ref[0, 0]
+    bq, d = q.shape
+    nkv = skv // block_kv
+    qs = qs_ref[0, 0, :][:, None]  # (bq, 1) f32
+    scale2 = scale * _LOG2E
+
+    def qk(i):
+        k = k_ref[0, 0, pl.ds(i * block_kv, block_kv), :]
+        ks = ks_ref[0, 0, pl.ds(i * block_kv, block_kv)][None, :]
+        s_i32 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        return s_i32.astype(jnp.float32) * (qs * ks) * scale2
+
+    def absorb(i, s, carry):
+        m, l, acc = carry
+        v = v_ref[0, 0, pl.ds(i * block_kv, block_kv), :]
+        if use_kv_bias:
+            s = s + kbias_ref[0, 0, pl.ds(i * block_kv, block_kv)][None, :]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_cur)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)
+        l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l, acc
+
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    a0 = jnp.zeros((bq, d), jnp.float32)
+    carry = (m0, l0, a0)
+    if unroll > 1:
+        ngroups = nkv // unroll
+
+        def body_group(j, carry):
+            i0 = j * unroll
+            ss = [qk(i0 + t) for t in range(unroll)]
+            for t in range(unroll):
+                carry = absorb(i0 + t, ss[t], carry)
+            return carry
+
+        carry = jax.lax.fori_loop(0, ngroups, body_group, carry)
+        lo_tail = ngroups * unroll
+    else:
+        lo_tail = 0
+    carry = jax.lax.fori_loop(
+        lo_tail, nkv, lambda i, c: absorb(i, qk(i), c), carry
+    )
+    m, l, acc = carry
+    l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+def flash_attention_qk8(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    pad_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """BSHD flash attention with int8 QK^T and bf16 PV (inference, no vjp).
+
+    Supports the serving masking case only: optional kv-side pad_mask
+    (prompt bucketing), no segments, non-causal. Falls back to the bf16
+    semantics exactly except that q/k pass through per-row int8."""
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    if scale is None:
+        scale = d ** -0.5
+    block_q = min(block_q, sq)
+    block_kv = min(block_kv, skv)
+    assert sq % block_q == 0 and skv % block_kv == 0, (
+        "qk8 path needs block-aligned shapes (bucketing guarantees this)"
+    )
+    assert skv * d * (1 + 2) <= _RESIDENT_KV_BYTES + _RESIDENT_KV_BYTES // 2, (
+        "qk8 path is resident-only"
+    )
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    def quant_rows(x):  # per (b, h, row) over d
+        xf = x.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+        xi = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+        return xi, s
+
+    q_i8, q_s = quant_rows(qt)
+    k_i8, k_s = quant_rows(kt)
+
+    use_kv_bias = pad_mask is not None
+    if use_kv_bias:
+        kbias = jnp.where(
+            pad_mask.astype(jnp.bool_), 0.0, _NEG_INF
+        ).astype(jnp.float32).reshape(b, 1, skv)
+    else:
+        kbias = jnp.zeros((b, 1, skv), jnp.float32)
+
+    nq = pl.cdiv(sq, block_q)
+    group = hq // hkv
+    # int8 K + bf16 V resident; per-block f32 scores + bf16 probs in flight
+    kv_bytes = skv * d * (1 + vt.dtype.itemsize)
+    per_block = block_q * block_kv * 6
+    budget = 13 * 1024 * 1024
+    unroll = max(1, min(4, (budget - kv_bytes) // max(per_block, 1)))
+
+    o = pl.pallas_call(
+        functools.partial(
+            _resident_qk8_kernel,
+            scale=scale, block_kv=block_kv, skv=skv,
+            use_kv_bias=use_kv_bias, unroll=unroll,
+        ),
+        grid=(b, hq, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, skv, d), lambda ib, ih, iq, g=group: (ib, ih // g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, skv, d), lambda ib, ih, iq, g=group: (ib, ih // g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda ib, ih, iq, hq_=hq: (ib * hq_ + ih, 0, iq),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, skv),
+                         lambda ib, ih, iq, g=group, hkv_=hkv: (ib * hkv_ + ih // g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, skv), lambda ib, ih, iq: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * sq * skv * d,
+            bytes_accessed=(q_i8.size + k_i8.size + vt.size * vt.dtype.itemsize),
+            transcendentals=b * hq * sq * skv,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q_i8, k_i8, vt, q_s.reshape(b * hq, 1, sq), k_s.reshape(b * hkv, 1, skv),
+      kbias)
+
+    return o.transpose(0, 2, 1, 3)
+
+
+# --------------------------------------------------------------------------
 # grid kernel: KV as innermost grid axis, carries in VMEM scratch
 # --------------------------------------------------------------------------
 

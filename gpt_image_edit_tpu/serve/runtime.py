@@ -96,23 +96,30 @@ class UnivaRuntime:
             self.tokenizer = load_tokenizer(model_path)
             self.vit_pixels = 200704
 
-        if quantize in ("int8", "w8a8", "w8a8-attn"):
+        if quantize in ("int8", "w8a8", "w8a8-attn", "w8a8-qk8"):
             from gpt_image_edit_tpu.utils.quantize import quantize_params
 
             mode = "weight_only" if quantize == "int8" else "w8a8"
             log.info("quantizing FLUX weights to int8 (%s)", mode)
             flux_params = quantize_params(flux_params, mode=mode)
             if quantize == "w8a8-attn":
-                # EXPERIMENTAL: int8 Pallas attention kernel. Measured
+                # EXPERIMENTAL: full int8 Pallas attention kernel. Measured
                 # SLOWER than the bf16 kernel on v5e (1174 vs 1049 ms/step
                 # full model: the kernel is exp/VPU-bound, not MXU-bound),
                 # kept for hardware where int8 MXU headroom dominates.
                 self.fcfg = dataclasses.replace(
                     self.fcfg, attention_impl="pallas_int8"
                 )
+            elif quantize == "w8a8-qk8":
+                # int8 QK^T only (q/k are RMS-normalized -> benign per-row
+                # quant), PV stays bf16
+                self.fcfg = dataclasses.replace(
+                    self.fcfg, attention_impl="pallas_qk8"
+                )
         elif quantize:
             raise ValueError(
-                f"unknown quantize mode {quantize!r} (int8 | w8a8 | w8a8-attn)"
+                f"unknown quantize mode {quantize!r} "
+                "(int8 | w8a8 | w8a8-attn | w8a8-qk8)"
             )
 
         # generate-vs-understand routing head (ref:cli.py:42-49), if shipped

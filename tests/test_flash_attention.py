@@ -175,3 +175,53 @@ class TestFlashAttentionInt8:
             causal=True,
         )
         assert err < 0.025, err
+
+
+class TestFlashAttentionQK8:
+    """int8-QK^T / bf16-PV serving kernel (`--quantize w8a8-qk8`): only q/k
+    pass through per-row int8, so the error budget is ~3x tighter than the
+    full-int8 kernel's p-requantization."""
+
+    def _rel_err(self, q, k, v, **kw):
+        from gpt_image_edit_tpu.ops.pallas.flash_attention import (
+            flash_attention_qk8,
+        )
+
+        ours = flash_attention_qk8(
+            q, k, v, interpret=True, block_q=128, block_kv=128, **kw
+        )
+        ref = dot_product_attention(q, k, v, impl="xla", **kw)
+        num = np.linalg.norm(np.asarray(ours, np.float32) - np.asarray(ref, np.float32))
+        return num / np.linalg.norm(np.asarray(ref, np.float32))
+
+    def test_full_and_unroll_tail(self):
+        # 5 kv blocks at block 128 with unroll grouping inside the kernel
+        b, s, h, d = 1, 640, 2, 64
+        err = self._rel_err(
+            _rand((b, s, h, d), 0), _rand((b, s, h, d), 1), _rand((b, s, h, d), 2)
+        )
+        assert err < 0.012, err
+
+    def test_padding_mask(self):
+        b, s, h, d = 2, 256, 2, 64
+        q, k, v = (_rand((b, s, h, d), i + 3) for i in range(3))
+        pad = jnp.asarray(np.ones((b, s), bool)).at[:, -64:].set(False)
+        err = self._rel_err(q, k, v, pad_mask=pad)
+        assert err < 0.012, err
+
+    def test_gqa(self):
+        b, s, d = 1, 256, 64
+        err = self._rel_err(
+            _rand((b, s, 4, d), 6), _rand((b, s, 2, d), 7), _rand((b, s, 2, d), 8)
+        )
+        assert err < 0.012, err
+
+    def test_dispatch_via_front_end(self):
+        b, s, h, d = 1, 256, 2, 64
+        q, k, v = (_rand((b, s, h, d), i + 9) for i in range(3))
+        out = dot_product_attention(q, k, v, impl="pallas_qk8")
+        ref = dot_product_attention(q, k, v, impl="xla")
+        rel = np.linalg.norm(np.asarray(out) - np.asarray(ref)) / np.linalg.norm(
+            np.asarray(ref)
+        )
+        assert rel < 0.012, rel

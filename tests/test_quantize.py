@@ -117,3 +117,68 @@ class TestQuantize:
         out = apply_flux(qp, cfg_i8, **kw)
         rel = float(jnp.linalg.norm(ref - out) / jnp.linalg.norm(ref))
         assert rel < 0.06, rel
+
+
+class TestSharedQuantHelpers:
+    """linear_multi (shared activation quant) and linear_concat (split
+    concat matmul) — the W8A8 serving-step HBM-traffic fixes."""
+
+    def _w8a8(self, key, shape):
+        from gpt_image_edit_tpu.utils.quantize import quantize_kernel
+
+        k = jax.random.normal(key, shape)
+        return {"kernel": quantize_kernel(k, mode="w8a8"),
+                "bias": jax.random.normal(jax.random.key(99), (shape[-1],)) * 0.1}
+
+    def test_linear_multi_bitwise_matches_linear(self):
+        from gpt_image_edit_tpu.models.common import linear_multi
+
+        ps = [self._w8a8(jax.random.key(i), (64, 32 * (i + 1))) for i in range(4)]
+        x = jax.random.normal(jax.random.key(7), (2, 9, 64))
+        multi = linear_multi(ps, x)
+        single = [linear(p, x) for p in ps]
+        for a, b in zip(multi, single):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_linear_multi_mixed_kernels(self):
+        from gpt_image_edit_tpu.models.common import linear_multi
+
+        pq = self._w8a8(jax.random.key(0), (64, 32))
+        pf = {"kernel": jax.random.normal(jax.random.key(1), (64, 16))}
+        x = jax.random.normal(jax.random.key(2), (3, 64))
+        a, b = linear_multi([pq, pf], x)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(linear(pq, x)))
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(linear(pf, x)))
+
+    def test_linear_concat_matches_fp_reference(self):
+        """Split per-part scales vs the fp32 concat matmul: the split path
+        must be at least as accurate as quantizing the concat row."""
+        from gpt_image_edit_tpu.models.common import linear_concat
+
+        kf = jax.random.normal(jax.random.key(0), (96, 48))
+        from gpt_image_edit_tpu.utils.quantize import quantize_kernel
+
+        p = {"kernel": quantize_kernel(kf, mode="w8a8"),
+             "bias": jax.random.normal(jax.random.key(1), (48,)) * 0.1}
+        pf = {"kernel": kf, "bias": p["bias"]}
+        # parts with very different magnitudes (attn ~1, gelu ~5): per-part
+        # scales keep the small part's resolution
+        x1 = jax.random.normal(jax.random.key(2), (2, 9, 32))
+        x2 = jax.random.normal(jax.random.key(3), (2, 9, 64)) * 5.0
+        y_ref = linear(pf, jnp.concatenate([x1, x2], axis=-1))
+        y_split = linear_concat(p, [x1, x2])
+        rel_split = float(jnp.linalg.norm(y_split - y_ref) / jnp.linalg.norm(y_ref))
+        y_joint = linear(p, jnp.concatenate([x1, x2], axis=-1))
+        rel_joint = float(jnp.linalg.norm(y_joint - y_ref) / jnp.linalg.norm(y_ref))
+        assert rel_split < 0.03
+        assert rel_split <= rel_joint + 1e-6
+
+    def test_linear_concat_unquantized_fallback(self):
+        from gpt_image_edit_tpu.models.common import linear_concat
+
+        p = {"kernel": jax.random.normal(jax.random.key(0), (32, 8))}
+        x1 = jax.random.normal(jax.random.key(1), (4, 20))
+        x2 = jax.random.normal(jax.random.key(2), (4, 12))
+        y = linear_concat(p, [x1, x2])
+        ref = linear(p, jnp.concatenate([x1, x2], axis=-1))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
