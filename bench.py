@@ -136,10 +136,10 @@ def main():
     #   weight-only (bf16 compute) — validates the bf16 extrapolation;
     #   W8A8 (int8 MXU matmuls)   — the fast serving mode (~22% faster).
     # Constructed shape-only (a bf16 tree first would OOM the chip).
-    def _full_depth_int8(qkey):
+    def _full_depth_int8(qkey, attn_impl="auto"):
         cfg = dataclasses.replace(
             FluxConfig(), num_layers=19, num_single_layers=38,
-            rope_dtype="bfloat16",
+            rope_dtype="bfloat16", attention_impl=attn_impl,
         )
         abstract = jax.eval_shape(
             lambda key: init_flux(key, cfg, jnp.bfloat16), jax.random.key(0)
@@ -174,9 +174,18 @@ def main():
 
     measured = {}  # label -> seconds / 28-step scan (TRUE full-depth model)
     if on_tpu:
-        for qkey, label in [("q", "int8 weight-only"), ("q_w8a8", "W8A8")]:
+        # (a W8A8 + int8-QK^T attention row was measured 835.4 ms/step vs
+        # plain W8A8's 827.5 on v5e — the extra q/k quantization pass costs
+        # more than the int8 QK dot saves; `--quantize w8a8-qk8` stays
+        # opt-in for hardware with a wider int8:bf16 MXU ratio, and the
+        # third full-depth run also fragmented HBM enough to OOM the train
+        # bench below, so only the two product rows are timed here)
+        for qkey, label, attn in [
+            ("q", "int8 weight-only", "auto"),
+            ("q_w8a8", "W8A8", "auto"),
+        ]:
             try:
-                t = _full_depth_int8(qkey)
+                t = _full_depth_int8(qkey, attn)
                 log(f"{label} full depth (19 dual, 38 single): {t:.3f}s / "
                     f"{steps}-step scan ({t / steps * 1000:.1f} ms/step) "
                     f"=> {1.0 / t:.4f} img/s/chip MEASURED full model")

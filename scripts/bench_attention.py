@@ -45,12 +45,20 @@ def main():
     pad = jnp.asarray(np.ones((b, s), bool)).at[:, -128:].set(False)
 
     def ref(q, k, v, pm=None):
-        lg = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                        k.astype(jnp.float32)) * (d ** -0.5)
-        if pm is not None:
-            lg = jnp.where(pm[:, None, None, :], lg, -1e30)
-        p = jax.nn.softmax(lg, axis=-1)
-        return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+        # host-side, head-by-head: the full (h, s, s) f32 logits tensor OOMs
+        # the 16GB chip at the serving shape
+        qn, kn, vn = (np.asarray(x, np.float32) for x in (q, k, v))
+        out = np.zeros_like(qn)
+        for bi in range(b):
+            for hi in range(h):
+                lg = (qn[bi, :, hi] @ kn[bi, :, hi].T) * (d ** -0.5)
+                if pm is not None:
+                    lg = np.where(np.asarray(pm)[bi][None, :], lg, -1e30)
+                lg -= lg.max(axis=-1, keepdims=True)
+                p = np.exp(lg)
+                p /= p.sum(axis=-1, keepdims=True)
+                out[bi, :, hi] = p @ vn[bi, :, hi]
+        return out
 
     flops = 4 * b * h * s * s * d
 

@@ -83,7 +83,7 @@ def main():
     from gpt_image_edit_tpu.models.flux import FluxConfig, apply_flux, init_flux
     from gpt_image_edit_tpu.ops.packing import latent_image_ids
 
-    attn_impl = "pallas_int8" if mode == "w8a8a" else "auto"
+    attn_impl = {"w8a8a": "pallas_int8", "w8a8q": "pallas_qk8"}.get(mode, "auto")
     rope_dtype = "bfloat16" if "--bf16rope" in sys.argv else "float32"
     cfg = dataclasses.replace(
         FluxConfig(), num_layers=nd, num_single_layers=ns,
@@ -95,7 +95,7 @@ def main():
     for kp, s in flat:
         path = "/".join(str(getattr(k, "key", k)) for k in kp)
         big = path.endswith("kernel") and len(s.shape) >= 2 and np.prod(s.shape) >= 1 << 22
-        if big and mode in ("w8a8", "w8a8a", "int8"):
+        if big and mode in ("w8a8", "w8a8a", "w8a8q", "int8"):
             qkey = "q" if mode == "int8" else "q_w8a8"
             leaves.append({
                 qkey: jnp.ones(s.shape, jnp.int8),
