@@ -95,6 +95,10 @@ def _resident_kernel(
     # instead of segment compare + two selects. Requires >=1 valid key per
     # row (true for the MMDiT joint sequence: image tokens are never padded).
 
+    # NOTE(perf, measured): folding scale2 into q (caller- or kernel-side)
+    # to skip this per-score multiply makes the Mosaic compile pathological
+    # (>20 min, killed) on the current toolchain — keep the multiply.
+
     def qk(i):
         k = k_ref[0, 0, pl.ds(i * block_kv, block_kv), :]
         return jax.lax.dot_general(
@@ -658,6 +662,8 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
     # MMDiT serving shape measured 16.10MB (>16MB scope) with LSE vs ~15.5MB
     # without — discount the budget so that path lands on unroll=3
     budget = (10 if need_lse else 13) * 1024 * 1024
+    import os as _os
+    cap = int(_os.environ.get("GIE_FA_UNROLL", cap))
     unroll = max(1, min(cap, (budget - kv_bytes) // max(per_block, 1)))
 
     # lse is only needed as a residual for the backward kernels; at inference

@@ -76,10 +76,19 @@ def main():
         return name, dt * 1e3, flops / dt / 1e12, out
 
     rows = []
-    r_nomask = np.asarray(ref(q, k, v))
-    r_mask = np.asarray(ref(q, k, v, pad))
+    cache = f"/tmp/attn_ref_{s}_{h}_{d}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        r_nomask, r_mask = z["nomask"], z["mask"]
+    else:
+        r_nomask = np.asarray(ref(q, k, v))
+        r_mask = np.asarray(ref(q, k, v, pad))
+        np.savez(cache, nomask=r_nomask, mask=r_mask)
     scale_ref = np.abs(r_nomask).max()
 
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
     for name, fn, kw, masked in [
         ("bf16",        flash_attention,       {}, False),
         ("bf16+pad",    flash_attention,       {"pad_mask": pad}, True),
@@ -88,6 +97,8 @@ def main():
         ("int8",        flash_attention_int8,  {}, False),
         ("int8+pad",    flash_attention_int8,  {"pad_mask": pad}, True),
     ]:
+        if only and not any(name.startswith(o) for o in only):
+            continue
         nm, ms, tf, out = bench(name, fn, q, k, v, **kw)
         r = r_mask if masked else r_nomask
         valid = r if not masked else r  # all queries remain valid (kv-side mask)
