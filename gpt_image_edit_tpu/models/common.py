@@ -117,6 +117,45 @@ def linear_multi(ps, x: jnp.ndarray):
     return outs
 
 
+# Upper bound of |gelu(x)| over x <= 0 for the tanh approximation (the
+# minimum is -0.17001 at x ~ -0.7517); rounded UP so the derived int8 scale
+# never underestimates the true row absmax (no clipping, ever).
+_GELU_TANH_MIN = 0.1701
+
+
+def quantize_gelu_rows(pre: jnp.ndarray):
+    """Per-row int8 quantization of ``gelu(pre)`` in ONE pass over gelu.
+
+    The scale comes from the PRE-gelu row max: gelu (tanh approx) is
+    monotone increasing above its dip and bounded by 0.17 in magnitude below
+    it, so ``max(gelu(rowmax), 0.1701)`` >= absmax(gelu(row)) always, with
+    equality whenever rowmax >= ~1.07 (every realistic 12288-wide MLP row).
+    vs quantize_rows(gelu(x)) this removes a full read+write of the widest
+    activation in the network (the (S, 12288) single-block MLP hidden) —
+    XLA cannot fuse an absmax reduce over gelu's OUTPUT into the pass that
+    computes gelu, so the naive form costs two passes.
+    """
+    pre_f = pre.astype(jnp.float32)
+    rowmax = jnp.max(pre_f, axis=-1, keepdims=True)
+    s = jnp.maximum(jax.nn.gelu(rowmax, approximate=True), _GELU_TANH_MIN) / 127.0
+    g = jax.nn.gelu(pre_f, approximate=True)
+    q = jnp.clip(jnp.round(g / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def linear_gelu(p: Params, pre: jnp.ndarray) -> jnp.ndarray:
+    """``linear(p, gelu(pre))`` with single-pass gelu quantization when the
+    kernel is W8A8 (the FLUX dual-block feed-forward second matmul)."""
+    kernel = p["kernel"]
+    if not (isinstance(kernel, dict) and "q_w8a8" in kernel):
+        return linear(p, jax.nn.gelu(pre, approximate=True))
+    qx, s_x = quantize_gelu_rows(pre)
+    y = _w8a8_matmul(kernel, qx, s_x, pre.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(pre.dtype)
+    return y
+
+
 def linear_concat(p: Params, parts) -> jnp.ndarray:
     """`concat(parts, -1) @ kernel` with the matmul SPLIT per part when the
     kernel is W8A8.
@@ -127,18 +166,31 @@ def linear_concat(p: Params, parts) -> jnp.ndarray:
     Splitting gives each part its own dynamic activation scale (strictly
     better precision) and partial int32 matmuls that dequant-sum in the
     epilogue; same MAC count.
+
+    A part may be the tuple ``("gelu", pre)``: the part value is
+    ``gelu(pre)``, quantized via quantize_gelu_rows (single-pass scale from
+    the pre-gelu row max) in W8A8 mode.
     """
     kernel = p["kernel"]
     if not (isinstance(kernel, dict) and "q_w8a8" in kernel):
+        parts = [
+            jax.nn.gelu(x[1], approximate=True) if isinstance(x, tuple) else x
+            for x in parts
+        ]
         return linear(p, jnp.concatenate(parts, axis=-1))
     off = 0
     y = None
     for x in parts:
+        if isinstance(x, tuple):
+            _, pre = x
+            qx, s_x = quantize_gelu_rows(pre)
+            x = pre
+        else:
+            qx, s_x = quantize_rows(x)
         w = {
             "q_w8a8": kernel["q_w8a8"][off:off + x.shape[-1]],
             "scale": kernel["scale"],
         }
-        qx, s_x = quantize_rows(x)
         part = _w8a8_matmul(w, qx, s_x, x.dtype)
         y = part if y is None else y + part
         off += x.shape[-1]

@@ -29,6 +29,7 @@ from gpt_image_edit_tpu.models.common import (
     Params,
     linear,
     linear_concat,
+    linear_gelu,
     linear_init,
     linear_multi,
     rms_weight_init,
@@ -225,15 +226,16 @@ def _dual_block(
 
     img = img + g_msa[:, None, :] * attn_img
     img_mlp = modulate(layer_norm(img, eps=1e-6), sh_mlp, sc_mlp)
-    img = img + g_mlp[:, None, :] * linear(
-        p["ff"]["out"], jax.nn.gelu(linear(p["ff"]["in"], img_mlp), approximate=True)
+    # linear_gelu: single-pass gelu quantization in W8A8 mode (scale from
+    # the pre-gelu row max); == linear(gelu(.)) otherwise
+    img = img + g_mlp[:, None, :] * linear_gelu(
+        p["ff"]["out"], linear(p["ff"]["in"], img_mlp)
     )
 
     txt = txt + c_g_msa[:, None, :] * attn_txt
     txt_mlp = modulate(layer_norm(txt, eps=1e-6), c_sh_mlp, c_sc_mlp)
-    txt = txt + c_g_mlp[:, None, :] * linear(
-        p["ff_context"]["out"],
-        jax.nn.gelu(linear(p["ff_context"]["in"], txt_mlp), approximate=True),
+    txt = txt + c_g_mlp[:, None, :] * linear_gelu(
+        p["ff_context"]["out"], linear(p["ff_context"]["in"], txt_mlp)
     )
     return img, txt
 
@@ -257,7 +259,6 @@ def _single_block(
         [p["attn"]["to_q"], p["attn"]["to_k"], p["attn"]["to_v"], p["proj_mlp"]],
         x_mod,
     )
-    mlp = jax.nn.gelu(mlp_h, approximate=True)
 
     def heads(y):
         return y.reshape(b, s, h, hd)
@@ -272,8 +273,9 @@ def _single_block(
     ).reshape(b, s, d)
 
     # split concat matmul in W8A8 mode: per-part activation scales, and the
-    # gelu absmax reduce can fuse into its producer (no double materialize)
-    out = linear_concat(p["proj_out"], [attn, mlp])
+    # ("gelu", pre) part quantizes gelu in a single pass (scale from the
+    # pre-gelu row max) instead of gelu-write + absmax-read + quant-read
+    out = linear_concat(p["proj_out"], [attn, ("gelu", mlp_h)])
     return x + gate[:, None, :] * out
 
 

@@ -189,3 +189,59 @@ class TestSharedQuantHelpers:
         y = linear_concat(p, [x1, x2])
         ref = linear(p, jnp.concatenate([x1, x2], axis=-1))
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+
+
+class TestGeluQuant:
+    """Single-pass gelu quantization (scale from the PRE-gelu row max)."""
+
+    def test_scale_never_clips(self):
+        """The derived scale must be >= the true absmax of gelu(row) for
+        adversarial rows: all-negative, tiny-max, huge-max, near-dip."""
+        from gpt_image_edit_tpu.models.common import quantize_gelu_rows
+
+        rows = jnp.stack([
+            -jnp.abs(jax.random.normal(jax.random.key(0), (64,))) - 0.1,
+            jax.random.normal(jax.random.key(1), (64,)) * 0.05,
+            jax.random.normal(jax.random.key(2), (64,)) * 30.0,
+            jnp.full((64,), -0.7517),
+        ])
+        q, s = quantize_gelu_rows(rows)
+        g = jax.nn.gelu(rows.astype(jnp.float32), approximate=True)
+        true_absmax = jnp.max(jnp.abs(g), axis=-1, keepdims=True)
+        assert bool(jnp.all(s * 127.0 >= true_absmax - 1e-6))
+        # and no element saturated incorrectly
+        deq = q.astype(jnp.float32) * s
+        assert float(jnp.max(jnp.abs(deq - g))) <= float(jnp.max(s)) * 0.51
+
+    def test_exact_scale_for_wide_rows(self):
+        """For realistic wide rows (rowmax >= ~1.07) the bound EQUALS the
+        true absmax, so accuracy matches two-pass quantize_rows(gelu(x))."""
+        from gpt_image_edit_tpu.models.common import quantize_gelu_rows, quantize_rows
+
+        x = jax.random.normal(jax.random.key(3), (8, 2048))
+        q1, s1 = quantize_gelu_rows(x)
+        g = jax.nn.gelu(x.astype(jnp.float32), approximate=True)
+        q2, s2 = quantize_rows(g)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+        assert int(jnp.sum(jnp.abs(q1.astype(jnp.int32) - q2.astype(jnp.int32)) > 1)) == 0
+
+    def test_linear_gelu_matches_linear_of_gelu(self):
+        from gpt_image_edit_tpu.models.common import linear_gelu
+        from gpt_image_edit_tpu.utils.quantize import quantize_kernel
+
+        kf = jax.random.normal(jax.random.key(0), (96, 48))
+        bias = jax.random.normal(jax.random.key(1), (48,)) * 0.1
+        x = jax.random.normal(jax.random.key(2), (2, 9, 96)) * 2.0
+        # unquantized: numerically identical to linear(gelu(x))
+        pf = {"kernel": kf, "bias": bias}
+        np.testing.assert_allclose(
+            np.asarray(linear_gelu(pf, x)),
+            np.asarray(linear(pf, jax.nn.gelu(x, approximate=True))),
+            atol=1e-5,
+        )
+        # W8A8: within the int8 budget of the fp reference
+        pq = {"kernel": quantize_kernel(kf, mode="w8a8"), "bias": bias}
+        y_ref = linear(pf, jax.nn.gelu(x, approximate=True))
+        y_q = linear_gelu(pq, x)
+        rel = float(jnp.linalg.norm(y_q - y_ref) / jnp.linalg.norm(y_ref))
+        assert rel < 0.03, rel
