@@ -25,6 +25,8 @@ def log(*a):
 
 
 def main():
+    from gpt_image_edit_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # honor JAX_PLATFORMS before first jax use
     import jax
 
     # persistent compile cache: the 28-step scan compiles take ~6-8 min each;

@@ -39,6 +39,8 @@ def describe(sample, idx: int):
 
 
 def main():
+    from gpt_image_edit_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # honor JAX_PLATFORMS before first jax use
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_txt", default="")
     ap.add_argument("--tokenizer", default="fake")

@@ -50,6 +50,8 @@ def build_parser():
 
 
 def main(argv=None):
+    from gpt_image_edit_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # honor JAX_PLATFORMS before first jax use
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     args = build_parser().parse_args(argv)
     rt = UnivaRuntime(

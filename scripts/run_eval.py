@@ -25,6 +25,8 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 
 
 def main():
+    from gpt_image_edit_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # honor JAX_PLATFORMS before first jax use
     ap = argparse.ArgumentParser()
     ap.add_argument("benchmark", choices=["imgedit", "gedit", "complex_edit", "omnicontext"])
     ap.add_argument("--model_path", default=None)
