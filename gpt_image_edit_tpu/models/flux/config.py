@@ -30,9 +30,12 @@ class FluxConfig:
     # jax.remat on each block body (the reference's gradient_checkpointing,
     # ref:train_denoiser.py:484-486)
     remat: bool = False
-    # attention dispatch: "auto" | "xla" | "pallas" | "pallas_qk8" | "pallas_int8"
-    # (pallas_qk8 = inference-only int8 QK^T + bf16 PV; pallas_int8 =
-    # inference-only full-int8 kernel — both for W8A8 serving)
+    # attention dispatch: "auto" | "xla" | "pallas" | "ring" | "pallas_qk8"
+    # | "pallas_int8". "ring" = context parallelism: sequence dim sharded
+    # over the mesh 'sequence' axis, K/V rotated via ppermute (differentiable
+    # — usable in training); the rest stays GSPMD. pallas_qk8 = inference-
+    # only int8 QK^T + bf16 PV; pallas_int8 = inference-only full-int8
+    # kernel — both for W8A8 serving.
     attention_impl: str = "auto"
     # rope rotation dtype: "float32" = reference-faithful (diffusers
     # apply_rotary_emb upcasts); "bfloat16" keeps the rotation + tables in

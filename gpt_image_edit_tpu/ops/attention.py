@@ -69,7 +69,7 @@ def dot_product_attention(
       pad_mask: (B, Skv) bool/int — 1 = attend, 0 = masked key.
       bias: optional additive (B or 1, H or 1, Sq, Skv) fp32 bias.
       scale: defaults to D ** -0.5.
-      impl: "auto" | "xla" | "pallas".
+      impl: "auto" | "xla" | "pallas" | "ring" | "pallas_qk8" | "pallas_int8".
     Returns: (B, Sq, Hq, D) in q.dtype.
     """
     b, sq, hq, d = q.shape
@@ -87,6 +87,23 @@ def dot_product_attention(
             and skv >= 128
         )
         impl = "pallas" if use_pallas else "xla"
+
+    if impl == "ring":
+        # context parallelism: sequence dim sharded over the mesh 'sequence'
+        # axis, K/V rotate via ppermute (ops/ring_attention.py). Partial-
+        # manual shard_map — batch/head dims and all params stay under
+        # GSPMD. Requires an ambient mesh with a 'sequence' axis (use
+        # jax.sharding.set_mesh or pass shardings through jit).
+        from gpt_image_edit_tpu.ops.ring_attention import (
+            context_parallel_attention,
+        )
+
+        assert q_segment_ids is None and kv_segment_ids is None and bias is None, (
+            "ring attention supports causal/pad_mask only"
+        )
+        return context_parallel_attention(
+            q, k, v, pad_mask=pad_mask, causal=causal, scale=scale
+        )
 
     if impl == "pallas":
         from gpt_image_edit_tpu.ops.pallas.flash_attention import flash_attention

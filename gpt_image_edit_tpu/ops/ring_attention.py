@@ -128,7 +128,7 @@ def context_parallel_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     *,
-    mesh: Mesh,
+    mesh: Optional[Mesh] = None,
     axis_name: str = "sequence",
     pad_mask: Optional[jnp.ndarray] = None,
     causal: bool = False,
@@ -136,27 +136,34 @@ def context_parallel_attention(
 ) -> jnp.ndarray:
     """Globally-shaped convenience wrapper: shards the sequence dim of BSHD
     q/k/v over `axis_name`, runs ring_attention, returns the global output
-    (sharded the same way). Sq and Skv must divide the axis size."""
+    (sharded the same way). Sq and Skv must divide the axis size.
+
+    PARTIAL-MANUAL shard_map (`axis_names={axis_name}`): only the sequence
+    axis goes manual; batch/head dims and every surrounding computation
+    (parameter shardings, data parallelism) stay under GSPMD. This is what
+    lets `dot_product_attention(impl="ring")` drop into the middle of the
+    jitted FLUX train step. With ``mesh=None`` the ambient mesh is used —
+    call under ``jax.sharding.set_mesh(mesh)`` (or inside a jit whose
+    arguments carry NamedShardings of that mesh)."""
     fn = functools.partial(
         ring_attention, axis_name=axis_name, causal=causal, scale=scale
     )
     qspec = P(None, axis_name, None, None)
     mspec = P(None, axis_name)
+    kw = dict(out_specs=qspec, axis_names=frozenset({axis_name}))
+    if mesh is not None:
+        kw["mesh"] = mesh
 
     if pad_mask is not None:
         def mapped(q, k, v, pm):
             return fn(q, k, v, pad_mask=pm)
         out = jax.shard_map(
-            mapped, mesh=mesh,
-            in_specs=(qspec, qspec, qspec, mspec),
-            out_specs=qspec,
+            mapped, in_specs=(qspec, qspec, qspec, mspec), **kw
         )(q, k, v, pad_mask)
     else:
         def mapped(q, k, v):
             return fn(q, k, v)
         out = jax.shard_map(
-            mapped, mesh=mesh,
-            in_specs=(qspec, qspec, qspec),
-            out_specs=qspec,
+            mapped, in_specs=(qspec, qspec, qspec), **kw
         )(q, k, v)
     return out
