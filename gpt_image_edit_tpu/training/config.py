@@ -101,6 +101,10 @@ class ModelConfig:
     # FLUX rope rotation dtype: float32 (reference-faithful) | bfloat16
     # (measured ~-8% step time at +0.17% rel err; standard for bf16 LLMs)
     rope_dtype: str = "float32"
+    # FLUX attention dispatch (models/flux/config.py): "auto" | "xla" |
+    # "pallas" | "ring". "ring" = context parallelism — train with the joint
+    # sequence sharded over the mesh 'sequence' axis (mesh_shape 4th entry)
+    attention_impl: str = "auto"
     # int8 weight-only quantization of the FROZEN subtree (VLM trunk etc.):
     # halves frozen-weight HBM so wider batches fit on 16GB chips; gradients
     # still flow through activations (dequant happens inside linear()).

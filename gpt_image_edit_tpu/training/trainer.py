@@ -41,6 +41,7 @@ def build_models(cfg: TrainDenoiseConfig):
         fcfg = dataclasses.replace(
             FluxConfig.tiny(), joint_attention_dim=qcfg.projector_out,
             remat=remat, rope_dtype=mc.rope_dtype,
+            attention_impl=mc.attention_impl,
         )
         vcfg = VaeConfig.tiny()
         params = {
@@ -57,7 +58,10 @@ def build_models(cfg: TrainDenoiseConfig):
     )
 
     qcfg = Qwen2p5VLConfig()
-    fcfg = dataclasses.replace(FluxConfig(), remat=remat, rope_dtype=mc.rope_dtype)
+    fcfg = dataclasses.replace(
+        FluxConfig(), remat=remat, rope_dtype=mc.rope_dtype,
+        attention_impl=mc.attention_impl,
+    )
     vcfg = VaeConfig()
     qwen, flux = load_merged_checkpoint(mc.pretrained_lvlm_name_or_path, qcfg, fcfg)
     vae_src = TensorSource.from_dir(mc.pretrained_denoiser_name_or_path)
@@ -313,7 +317,7 @@ def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str,
 
     t0 = time.time()
     pending = []  # (step, device-metrics) awaiting fetch
-    with mesh:
+    with jax.sharding.set_mesh(mesh):  # set_mesh: ring attention (attention_impl="ring") resolves the ambient mesh from this context
         for step in range(start_step, max_steps):
             host_batch = next(it)
             instructions = host_batch.pop("instructions", None)

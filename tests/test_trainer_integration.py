@@ -110,3 +110,18 @@ def test_config_probe_slots_convert(tmp_path):
     assert probes["it2i"]["image_path"] == "/x.png"
     assert "image_path" not in probes["t2i"]
     assert probes["iit2i"]["image_paths"] == ["/a.png", "/b.png"]
+
+
+def test_train_context_parallel(tmp_path):
+    """model_config.attention_impl='ring' + a 4-axis mesh: the FLUX joint
+    sequence trains sharded over the 'sequence' axis (context parallelism)."""
+    cfg = _cfg(
+        tmp_path,
+        model_config={
+            "tiny": True, "with_tune_mlp2": True, "attention_impl": "ring",
+        },
+        parallel_config={"mesh_shape": [1, 2, 2, 2]},
+    )
+    metrics = train(cfg)
+    assert metrics["final_step"] == 2
+    assert np.isfinite(metrics["loss"])
