@@ -126,7 +126,12 @@ def dot_product_attention(
             flash_attention_qk8,
         )
 
-        assert not causal and q_segment_ids is None and kv_segment_ids is None
+        assert (
+            not causal
+            and q_segment_ids is None
+            and kv_segment_ids is None
+            and bias is None
+        ), "pallas_qk8 supports pad_mask only (no causal/segments/bias)"
         return flash_attention_qk8(
             q,
             k,

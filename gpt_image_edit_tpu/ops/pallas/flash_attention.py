@@ -480,12 +480,20 @@ def flash_attention_qk8(
         scale = d ** -0.5
     block_q = min(block_q, sq)
     block_kv = min(block_kv, skv)
-    assert sq % block_q == 0 and skv % block_kv == 0, (
-        "qk8 path needs block-aligned shapes (bucketing guarantees this)"
-    )
-    assert skv * d * (1 + 2) <= _RESIDENT_KV_BYTES + _RESIDENT_KV_BYTES // 2, (
-        "qk8 path is resident-only"
-    )
+    if (
+        sq % block_q != 0
+        or skv % block_kv != 0
+        or skv * d * (1 + 2) > _RESIDENT_KV_BYTES + _RESIDENT_KV_BYTES // 2
+    ):
+        # Ragged / non-resident shapes: degrade to the bf16 XLA reference
+        # (same semantics minus the int8 QK speedup) instead of crashing a
+        # serving request that escaped the resolution buckets.
+        return _xla_reference(
+            q, k, v,
+            jnp.zeros((b, sq), jnp.int32),
+            _merge_kv_seg(None, pad_mask, b, skv),
+            False, scale,
+        )
 
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)

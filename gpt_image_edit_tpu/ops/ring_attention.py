@@ -57,10 +57,11 @@ def ring_attention(
     _, skv, hkv, _ = k.shape
     if scale is None:
         scale = d ** -0.5
-    if hq != hkv:
-        assert hq % hkv == 0, f"GQA requires Hq % Hkv == 0, got {hq}, {hkv}"
-        k = jnp.repeat(k, hq // hkv, axis=2)
-        v = jnp.repeat(v, hq // hkv, axis=2)
+    assert hq % hkv == 0, f"GQA requires Hq % Hkv == 0, got {hq}, {hkv}"
+    g = hq // hkv  # GQA group size: K/V rotate un-repeated (Hkv wide) so
+    # ppermute ICI payloads stay at Hkv; heads expand inside the hop via
+    # grouped einsums (head index = kv_head * g + group_member, matching
+    # jnp.repeat(axis=2) ordering).
 
     n = jax.lax.psum(1, axis_name)          # ring size (static)
     idx = jax.lax.axis_index(axis_name)     # this shard's position
@@ -77,12 +78,14 @@ def ring_attention(
     q32 = q.astype(jnp.float32)
     q_pos = idx * sq + jnp.arange(sq)  # global query positions
 
+    q5 = q32.reshape(b, sq, hkv, g, d)
+
     def hop(carry, t):
         k_c, v_c, mask_c, m, l, acc = carry
         s = jnp.einsum(
-            "bqhd,bkhd->bhqk", q32, k_c.astype(jnp.float32),
+            "bqhgd,bkhd->bhgqk", q5, k_c.astype(jnp.float32),
             preferred_element_type=jnp.float32,
-        ) * scale
+        ).reshape(b, hq, sq, skv) * scale
         keep = mask_c[:, None, None, :]
         if causal:
             src = (idx + t) % n  # whose KV block this hop holds
@@ -98,8 +101,10 @@ def ring_attention(
         l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
         # alpha is (B, H, Sq, 1); the accumulator is BSHD
         acc = acc * alpha[..., 0].transpose(0, 2, 1)[..., None] + jnp.einsum(
-            "bhqk,bkhd->bqhd", p, v_c.astype(jnp.float32)
-        )
+            "bhgqk,bkhd->bqhgd",
+            p.reshape(b, hkv, g, sq, skv),
+            v_c.astype(jnp.float32),
+        ).reshape(b, sq, hq, d)
 
         k_n = jax.lax.ppermute(k_c, axis_name, perm)
         v_n = jax.lax.ppermute(v_c, axis_name, perm)
