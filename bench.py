@@ -1,43 +1,260 @@
 #!/usr/bin/env python
 """Headline benchmark: 28-step 1024x1024 FLUX-Kontext edit throughput per chip.
 
-Measures the jitted denoise scan (text 512 + target 4096 + reference 4096
-tokens, bf16, guidance-distilled single pass) at full FLUX width (24 heads x
-128). A single v5e chip (16GB) cannot hold the full 19+38-block 12B model, so
-depth-scaled variants are timed and the full-depth step time is obtained by a
-least-squares linear fit in (num_dual, num_single) — block costs are uniform,
-so the fit is exact up to noise. The extrapolated full-model rate is what the
-JSON reports; raw measurements go to stderr.
+Driver contract: prints ONE JSON line {"metric", "value", "unit",
+"vs_baseline"} on stdout; everything else goes to stderr.
+
+Structure (VERDICT r2 #1: the round-2 bench crashed on a wedged TPU tunnel
+and lost the round's perf evidence):
+
+- SUPERVISOR (default, no jax import): health-checks the TPU tunnel in an
+  isolated subprocess (a hung probe cannot wedge this process), with bounded
+  retries per the CLAUDE.md tunnel playbook; then runs each measurement
+  phase as a subprocess with its own timeout so a mid-phase wedge loses one
+  phase, not the round. Every successful run is persisted to
+  bench_last_good.json; if the tunnel stays down the last good measurement
+  is emitted with an explicit CACHED label instead of crashing with rc=1.
+- CHILD PHASES (bench.py --phase X --out F):
+    scan   headline: 28-step denoise scan at full width; depth-scaled bf16
+           rows (linear-fit cross-check) + MEASURED full 19+38-block model
+           int8 weight-only and W8A8 (the serving modes that fit 16GB HBM).
+    e2e    the rest of the serving path (VERDICT r2 #2): int8 7B VLM
+           denoise_embeds forward (ViT 448^2 + LM trunk + MLP2) and fp32
+           VAE encode/decode at 1024^2. One 16GB chip cannot co-reside the
+           7B VLM and the 12B FLUX, so end-to-end latency is composed as
+           t_vlm + t_vae_enc + t_scan + t_vae_dec (on a v5e-8 the models
+           are resident on disjoint chips and the compose is pipelined).
+    train  fwd+bwd+AdamW step at (2,4) depth full width with MFU under
+           both 4x-remat and standard 3x accounting, plus a two-depth
+           fwd/bwd-only fit grounding the full-depth estimate
+           (VERDICT r2 #7; a true (19,38) bf16 train step needs 24GB for
+           params alone and cannot fit one 16GB chip).
 
 vs_baseline: BASELINE.json targets >=2 img/s on v5e-8 => 0.25 img/s/chip.
 """
 
+import argparse
 import dataclasses
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+LAST_GOOD = os.path.join(REPO, "bench_last_good.json")
+BASELINE_PER_CHIP = 0.25  # 2 img/s on 8 chips (BASELINE.json)
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+# --------------------------------------------------------------------------
+# supervisor
+# --------------------------------------------------------------------------
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((256, 256), jnp.bfloat16);"
+    "print(float(jnp.sum((x @ x).astype(jnp.float32))))"
+)
+
+
+def _tpu_probe(
+    timeout_s: float = float(os.environ.get("GIE_BENCH_PROBE_TIMEOUT", "150")),
+) -> bool:
+    """One tiny-matmul probe in a throwaway subprocess (a wedged tunnel hangs
+    TPU ops forever; killing the subprocess leaves this process clean)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+        )
+        if r.returncode == 0:
+            return True
+        log(f"probe rc={r.returncode}: ...{r.stderr.decode()[-300:]}")
+    except subprocess.TimeoutExpired:
+        log(f"probe timed out after {timeout_s:.0f}s (tunnel wedged or cold)")
+    return False
+
+
+def wait_for_tpu(max_wait_s: float = 720.0) -> bool:
+    """Bounded health-check loop (CLAUDE.md wedge playbook: nothing local
+    fixes a wedged tunnel; poll until it returns or the budget runs out)."""
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        if _tpu_probe():
+            log(f"TPU healthy (probe attempt {attempt}, "
+                f"{time.time() - t0:.0f}s elapsed)")
+            return True
+        if time.time() - t0 >= max_wait_s:
+            log(f"TPU unavailable after {attempt} probes / "
+                f"{time.time() - t0:.0f}s")
+            return False
+        time.sleep(30)
+
+
+def _run_phase_subprocess(phase: str, timeout_s: float) -> dict | None:
+    out_file = os.path.join(REPO, f".bench_{phase}.json")
+    if os.path.exists(out_file):
+        os.remove(out_file)
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--phase", phase, "--out", out_file]
+    log(f"--- phase {phase} (timeout {timeout_s / 60:.0f} min) ---")
+    try:
+        r = subprocess.run(cmd, timeout=timeout_s, stdout=subprocess.DEVNULL)
+        if r.returncode != 0:
+            log(f"phase {phase} rc={r.returncode}")
+    except subprocess.TimeoutExpired:
+        log(f"phase {phase} timed out after {timeout_s:.0f}s")
+    if os.path.exists(out_file):
+        with open(out_file) as f:
+            res = json.load(f)
+        os.remove(out_file)
+        return res
+    return None
+
+
+def _emit(payload: dict, save: bool = True) -> None:
+    if save:
+        with open(LAST_GOOD, "w") as f:
+            json.dump({"saved_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+                       **payload}, f, indent=1)
+    print(json.dumps(payload))
+
+
+def _assemble(scan: dict, e2e: dict | None, train: dict | None) -> dict:
+    measured = scan.get("measured", {})
+    fit = scan.get("fit_img_s")
+    if measured:
+        label, t_best = min(measured.items(), key=lambda kv: kv[1])
+        value = 1.0 / t_best
+        extra = ""
+        if e2e and "t_other_s" in e2e:
+            t_e2e = t_best + e2e["t_other_s"]
+            extra = (f"; end-to-end edit incl. VLM+MLP2+VAE {t_e2e:.2f}s "
+                     f"= {1.0 / t_e2e:.4f} img/s")
+            log(f"e2e: scan {t_best:.2f}s + other {e2e['t_other_s']:.2f}s "
+                f"= {t_e2e:.2f}s/edit ({1.0 / t_e2e:.4f} img/s/chip)")
+        metric = (
+            f"1024x1024 28-step FLUX-Kontext edits/sec/chip "
+            f"(MEASURED full 19+38-block model, {label} serving mode; "
+            f"bf16 extrapolation {fit:.4f}{extra})"
+        )
+    else:
+        value = fit
+        metric = ("1024x1024 28-step FLUX-Kontext edits/sec/chip "
+                  "(full-depth extrapolated from depth-scaled timings)")
+    if train:
+        log("train: " + json.dumps(train))
+    return {
+        "metric": metric,
+        "value": round(value, 5),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / BASELINE_PER_CHIP, 4),
+    }
+
+
+def supervise() -> int:
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat.startswith("cpu"):
+        # forced-CPU smoke (tests, tunnel-down debugging): run in-process
+        scan = phase_scan()
+        _emit(_assemble(scan, None, None), save=False)
+        return 0
+
+    max_wait = float(os.environ.get("GIE_BENCH_MAX_WAIT", "720"))
+    if not wait_for_tpu(max_wait_s=max_wait):
+        if os.path.exists(LAST_GOOD):
+            with open(LAST_GOOD) as f:
+                cached = json.load(f)
+            saved_at = cached.pop("saved_at", "unknown time")
+            cached["metric"] = (
+                f"[CACHED {saved_at}; TPU tunnel unavailable at bench time] "
+                + cached["metric"]
+            )
+            log(f"emitting cached result from {saved_at}")
+            _emit(cached, save=False)
+            return 0
+        log("TPU unavailable and no cached result exists.")
+        log("Diagnostics: the axon tunnel is down/wedged; every TPU op hangs.")
+        log("Re-run once `python -c \"import jax; jax.numpy.ones(1)+1\"` "
+            "completes; compiles are cached in .jax_cache so the re-run is "
+            "fast.")
+        return 1
+
+    scan = _run_phase_subprocess("scan", timeout_s=45 * 60)
+    if scan is None and wait_for_tpu(max_wait_s=480.0):
+        scan = _run_phase_subprocess("scan", timeout_s=45 * 60)
+
+    e2e = train = None
+    if scan is not None:
+        e2e = _run_phase_subprocess("e2e", timeout_s=25 * 60)
+        if e2e is None:
+            wait_for_tpu(max_wait_s=300.0)
+        train = _run_phase_subprocess("train", timeout_s=25 * 60)
+
+    if scan is not None:
+        _emit(_assemble(scan, e2e, train), save=True)
+        return 0
+
+    log("scan phase failed twice; falling back to cache if present")
+    if os.path.exists(LAST_GOOD):
+        with open(LAST_GOOD) as f:
+            cached = json.load(f)
+        saved_at = cached.pop("saved_at", "unknown time")
+        cached["metric"] = (
+            f"[CACHED {saved_at}; TPU bench run failed this round] "
+            + cached["metric"]
+        )
+        _emit(cached, save=False)
+        return 0
+    return 1
+
+
+# --------------------------------------------------------------------------
+# shared child helpers
+# --------------------------------------------------------------------------
+
+def _child_jax():
     from gpt_image_edit_tpu.utils.platform import apply_platform_env
-    apply_platform_env()  # honor JAX_PLATFORMS before first jax use
+    apply_platform_env()
     import jax
 
-    # persistent compile cache: the 28-step scan compiles take ~6-8 min each;
-    # cached across runs/rounds this drops to seconds
-    import os
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    cache_dir = os.path.join(REPO, ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     except Exception:
         pass
+    return jax
+
+
+def _shape_params(jax, jnp, abstract, fill=0.01):
+    return jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, fill, s.dtype), abstract
+    )
+
+
+def _sync(jnp, x) -> float:
+    # On the axon tunnel block_until_ready() is a no-op; fetching a scalar
+    # is the only reliable sync.
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+# --------------------------------------------------------------------------
+# phase: scan (headline)
+# --------------------------------------------------------------------------
+
+def phase_scan() -> dict:
+    jax = _child_jax()
     import jax.numpy as jnp
 
     from gpt_image_edit_tpu.models.flux import FluxConfig, init_flux
@@ -75,10 +292,7 @@ def main():
         abstract = jax.eval_shape(
             lambda k: init_flux(k, cfg, dtype=jnp.bfloat16), jax.random.key(0)
         )
-        params = jax.tree_util.tree_map(
-            lambda s: jnp.full(s.shape, 0.01, s.dtype), abstract
-        )
-        return cfg, params
+        return cfg, _shape_params(jax, jnp, abstract)
 
     def run_once(cfg, params):
         s_tgt = (h // 2) * (w // 2)
@@ -110,18 +324,12 @@ def main():
                 num_steps=steps,
             )
 
-        # NOTE: on the axon TPU tunnel block_until_ready() is a no-op; the
-        # only reliable sync is fetching a value. Chain scans (each feeding
-        # the next) and fetch one scalar at the end.
-        def sync(lat):
-            return float(jnp.sum(lat.astype(jnp.float32)))
-
         lat = call(latents)
-        sync(lat)  # compile + warm + sync
+        _sync(jnp, lat)  # compile + warm + sync
         t0 = time.perf_counter()
         for _ in range(reps):
-            lat = call(lat)
-        sync(lat)
+            lat = call(lat)  # chained scans, one sync at the end
+        _sync(jnp, lat)
         return (time.perf_counter() - t0) / reps
 
     rows = []
@@ -179,9 +387,7 @@ def main():
         # (a W8A8 + int8-QK^T attention row was measured 835.4 ms/step vs
         # plain W8A8's 827.5 on v5e — the extra q/k quantization pass costs
         # more than the int8 QK dot saves; `--quantize w8a8-qk8` stays
-        # opt-in for hardware with a wider int8:bf16 MXU ratio, and the
-        # third full-depth run also fragmented HBM enough to OOM the train
-        # bench below, so only the two product rows are timed here)
+        # opt-in for hardware with a wider int8:bf16 MXU ratio)
         for qkey, label, attn in [
             ("q", "int8 weight-only", "auto"),
             ("q_w8a8", "W8A8", "auto"),
@@ -195,76 +401,6 @@ def main():
             except Exception as e:
                 log(f"{label} full-depth run failed ({type(e).__name__}): {str(e)[:200]}")
 
-    def _train_step_bench():
-        """Measured fwd+bwd train-step time + MFU at full FLUX width, 1024^2
-        bs=1, remat (VERDICT r1 #9). Depth-scaled like inference; reports the
-        measured depth AND the full-depth linear extrapolation."""
-        import optax
-
-        nd, ns = 2, 4
-        cfg = dataclasses.replace(
-            FluxConfig(), num_layers=nd, num_single_layers=ns, remat=True
-        )
-        abstract = jax.eval_shape(
-            lambda k: init_flux(k, cfg, jnp.bfloat16), jax.random.key(0)
-        )
-        params = jax.tree_util.tree_map(
-            lambda s: jnp.full(s.shape, 0.01, s.dtype), abstract
-        )
-        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-        from gpt_image_edit_tpu.models.flux import apply_flux
-
-        s_tgt = (h // 2) * (w // 2)
-        rng = np.random.default_rng(0)
-        latents = jnp.asarray(
-            rng.standard_normal((b, 2 * s_tgt, cfg.in_channels)), jnp.bfloat16
-        )
-        ids = jnp.concatenate(
-            [latent_image_ids(h // 2, w // 2, 0), latent_image_ids(h // 2, w // 2, 1)],
-            axis=0,
-        )
-        embeds = jnp.zeros((b, s_txt, cfg.joint_attention_dim), jnp.bfloat16)
-        pooled = jnp.zeros((b, cfg.pooled_projection_dim), jnp.bfloat16)
-        target = jnp.zeros((b, 2 * s_tgt, cfg.out_channels), jnp.float32)
-        tx = optax.adamw(1e-6)
-        opt = tx.init(params)
-
-        def loss_fn(p, lat):
-            pred = apply_flux(
-                p, cfg, hidden_states=lat, encoder_hidden_states=embeds,
-                pooled_projections=pooled,
-                timestep=jnp.full((b,), 0.5, jnp.float32),
-                img_ids=ids, guidance=jnp.full((b,), 3.5, jnp.float32),
-            )
-            return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
-
-        @jax.jit
-        def train_step(p, opt, lat):
-            loss, grads = jax.value_and_grad(loss_fn)(p, lat)
-            updates, opt = tx.update(grads, opt, p)
-            return optax.apply_updates(p, updates), opt, loss
-
-        params, opt, loss = train_step(params, opt, latents)
-        float(loss)  # compile + sync
-        t0 = time.perf_counter()
-        reps_t = 3
-        for _ in range(reps_t):
-            params, opt, loss = train_step(params, opt, latents)
-        float(loss)
-        dt = (time.perf_counter() - t0) / reps_t
-        # fwd+bwd ~= 3x forward matmul FLOPs (remat adds ~1 more forward
-        # through the blocks -> use 4x for the remat path), tokens = 8704
-        flops = 4 * 2 * n_params * (2 * s_tgt + s_txt) * b
-        mfu = flops / dt / 197e12
-        # full-depth extrapolation via per-block inference cost ratio
-        t_full_est = dt * (19 + 2 * 38) / (nd + 2 * ns)
-        return {
-            "train_step_ms_depth_2_4": round(dt * 1000, 1),
-            "train_mfu_depth_2_4": round(mfu, 3),
-            "train_step_s_full_depth_est": round(t_full_est, 2),
-            "params_bench": n_params,
-        }
-
     # least-squares fit t = a*nd + b*ns + c
     A = np.array([[nd, ns, 1.0] for nd, ns, _ in rows])
     y = np.array([t for _, _, t in rows])
@@ -276,38 +412,300 @@ def main():
         f"const {coef[2]*1000:.1f} ms -> full ({full_dual}+{full_single}) "
         f"scan {t_full:.2f}s => {imgs_per_sec:.4f} img/s/chip")
 
-    # Train-step throughput row (fwd+bwd+optimizer, remat, full width):
-    # tracked round-over-round on stderr; headline JSON stays single-line.
-    if on_tpu:
-        try:
-            train_row = _train_step_bench()
-            log("train: " + json.dumps(train_row))
-        except Exception as e:
-            log(f"train bench failed ({type(e).__name__}): {str(e)[:200]}")
+    return {
+        "rows": rows,
+        "measured": measured,
+        "fit_img_s": imgs_per_sec,
+    }
 
-    # Headline = the BEST MEASURED full-model serving configuration (the
-    # `--quantize w8a8` product mode); the bf16 extrapolation is the
-    # secondary cross-check above. Falls back to the fit when the measured
-    # runs were unavailable (e.g. CPU smoke).
-    baseline_per_chip = 0.25  # 2 img/s on 8 chips (BASELINE.json)
-    if measured:
-        label, t_best = min(measured.items(), key=lambda kv: kv[1])
-        value = b / t_best
-        metric = (
-            f"1024x1024 28-step FLUX-Kontext edits/sec/chip "
-            f"(MEASURED full 19+38-block model, {label} serving mode; "
-            f"bf16 extrapolation {imgs_per_sec:.4f})"
+
+# --------------------------------------------------------------------------
+# phase: e2e (the serving path around the scan)
+# --------------------------------------------------------------------------
+
+def phase_e2e() -> dict:
+    """Time the non-denoiser components of one edit at serving shapes
+    (ref:univa/serve/cli.py:199-254): int8 7B VLM denoise_embeds forward
+    (ViT 448^2 view -> LM trunk -> MLP2) and fp32 VAE encode + decode at
+    1024^2. The composed edit latency is reported by the supervisor."""
+    jax = _child_jax()
+    import jax.numpy as jnp
+
+    from gpt_image_edit_tpu.models.qwen2p5vl import language, vision
+    from gpt_image_edit_tpu.models.qwen2p5vl.config import Qwen2p5VLConfig
+    from gpt_image_edit_tpu.models.qwen2p5vl.model import (
+        denoise_projector, init as init_vlm,
+    )
+    from gpt_image_edit_tpu.models.qwen2p5vl.vision import vision_precompute
+    from gpt_image_edit_tpu.models.vae import VaeConfig, init_vae
+    from gpt_image_edit_tpu.models.vae import model as vae_model
+    from gpt_image_edit_tpu.utils.quantize import quantize_params
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    log(f"device: {dev}, platform: {dev.platform}")
+
+    cfg = Qwen2p5VLConfig() if on_tpu else Qwen2p5VLConfig.tiny()
+    b = 1
+    # serving prompt: chat template + one reference image at the 448^2 ViT
+    # view (ref max_pixels=200704) -> 256 merged tokens + text, bucketed
+    seq = 1024 if on_tpu else 64
+    grid = (1, 32, 32) if on_tpu else (1, 4, 4)  # 448^2 / 14^2 patches
+
+    abstract = jax.eval_shape(lambda k: init_vlm(k, cfg), jax.random.key(0))
+    params = _shape_params(jax, jnp, abstract)
+    if on_tpu:
+        params = quantize_params(params, mode="weight_only", min_size=1 << 20)
+
+    aux = vision_precompute(np.asarray([grid]), cfg.vision)
+    n_patches = grid[0] * grid[1] * grid[2]
+    patch_dim = (cfg.vision.in_channels * cfg.vision.temporal_patch_size
+                 * cfg.vision.patch_size ** 2)
+    pixels = jnp.full((n_patches, patch_dim), 0.01, jnp.bfloat16)
+    n_img_tokens = n_patches // (cfg.vision.spatial_merge_size ** 2)
+    x_emb = jnp.full((b, seq, cfg.text.hidden_size), 0.01, jnp.bfloat16)
+    pos = jnp.broadcast_to(
+        jnp.arange(seq)[None, None], (3, b, seq)
+    ).astype(jnp.int32)
+
+    @jax.jit
+    def vlm_fwd(p, pixels, x):
+        img = vision.apply(p["visual"], cfg.vision, pixels, aux)
+        # scatter cost is negligible; time the real compute path: ViT +
+        # trunk + projector. (The scatter needs token ids; shape-only
+        # params make argmax-routing meaningless here.)
+        x = jax.lax.dynamic_update_slice(
+            x, img[None, :, :].astype(x.dtype), (0, 0, 0)
         )
+        hidden = language.trunk(p["lm"], cfg.text, x, pos)
+        return denoise_projector(p["projector"], hidden)
+
+    @jax.jit
+    def chain(p, pixels, x, prev):
+        # data-depend each rep on the previous output so the tunnel cannot
+        # reorder/elide repetitions (block_until_ready is a no-op on axon)
+        x = (x * (1.0 + 0.0 * jnp.mean(prev.astype(jnp.float32)))).astype(x.dtype)
+        return vlm_fwd(p, pixels, x)
+
+    out = vlm_fwd(params, pixels, x_emb)
+    _sync(jnp, out)
+    o = chain(params, pixels, x_emb, out)
+    _sync(jnp, o)  # compile chain
+    reps = 8
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        o = chain(params, pixels, x_emb, o)
+    _sync(jnp, o)
+    t_vlm = (time.perf_counter() - t0) / reps
+    log(f"VLM denoise_embeds fwd (seq {seq} + ViT {n_patches} patches, "
+        f"{'int8' if on_tpu else 'bf16 tiny'}): {t_vlm * 1000:.1f} ms, "
+        f"{n_img_tokens} image tokens")
+    del params
+
+    vcfg = VaeConfig() if on_tpu else VaeConfig.tiny()
+    vabs = jax.eval_shape(lambda k: init_vae(k, vcfg), jax.random.key(0))
+    vparams = _shape_params(jax, jnp, vabs)
+    hw = 1024 if on_tpu else 32
+    img = jnp.full((b, hw, hw, 3), 0.1, jnp.float32)
+
+    enc = jax.jit(lambda p, x: vae_model.encode_to_scaled_latents(p, vcfg, x))
+    z = enc(vparams, img)
+    _sync(jnp, z)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        z = enc(vparams, img + _sync(jnp, z) * 0.0)
+    _sync(jnp, z)
+    t_enc = (time.perf_counter() - t0) / 3
+
+    dec = jax.jit(lambda p, z: vae_model.decode_from_scaled_latents(p, vcfg, z))
+    y = dec(vparams, z)
+    _sync(jnp, y)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        y = dec(vparams, z + _sync(jnp, y) * 0.0)
+    _sync(jnp, y)
+    t_dec = (time.perf_counter() - t0) / 3
+    log(f"VAE fp32 {hw}x{hw}: encode {t_enc * 1000:.1f} ms, "
+        f"decode {t_dec * 1000:.1f} ms")
+
+    t_other = t_vlm + t_enc + t_dec
+    log(f"non-scan serving components total: {t_other:.3f}s "
+        f"(VLM {t_vlm:.3f} + VAE enc {t_enc:.3f} + VAE dec {t_dec:.3f})")
+    return {
+        "t_vlm_s": t_vlm,
+        "t_vae_enc_s": t_enc,
+        "t_vae_dec_s": t_dec,
+        "t_other_s": t_other,
+    }
+
+
+# --------------------------------------------------------------------------
+# phase: train
+# --------------------------------------------------------------------------
+
+def phase_train() -> dict:
+    """Measured fwd+bwd(+AdamW) train-step times at full FLUX width, 1024^2
+    bs=1, remat. A true (19,38) bf16 train step cannot fit one 16GB chip
+    (24GB of bf16 params alone); the full-depth number is grounded by a
+    TWO-DEPTH measured fit of the fwd+bwd cost (fwd+bwd only fits (4,8))
+    plus the measured optimizer-update cost scaled linearly in params."""
+    jax = _child_jax()
+    import jax.numpy as jnp
+    import optax
+
+    from gpt_image_edit_tpu.models.flux import FluxConfig, apply_flux, init_flux
+    from gpt_image_edit_tpu.ops.packing import latent_image_ids
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    log(f"device: {dev}, platform: {dev.platform}")
+
+    b = 1
+    h = w = 128 if on_tpu else 16
+    s_txt = 512 if on_tpu else 32
+    s_tgt = (h // 2) * (w // 2)
+
+    def build(nd, ns):
+        cfg = dataclasses.replace(
+            FluxConfig() if on_tpu else FluxConfig.tiny(),
+            num_layers=nd, num_single_layers=ns, remat=True,
+        )
+        abstract = jax.eval_shape(
+            lambda k: init_flux(k, cfg, jnp.bfloat16), jax.random.key(0)
+        )
+        return cfg, _shape_params(jax, jnp, abstract)
+
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(
+        rng.standard_normal((b, 2 * s_tgt, 64 if on_tpu else 16)), jnp.bfloat16
+    )
+    ids = jnp.concatenate(
+        [latent_image_ids(h // 2, w // 2, 0), latent_image_ids(h // 2, w // 2, 1)],
+        axis=0,
+    )
+
+    def make_loss(cfg):
+        embeds = jnp.zeros((b, s_txt, cfg.joint_attention_dim), jnp.bfloat16)
+        pooled = jnp.zeros((b, cfg.pooled_projection_dim), jnp.bfloat16)
+        target = jnp.zeros((b, 2 * s_tgt, cfg.out_channels), jnp.float32)
+
+        def loss_fn(p, lat):
+            pred = apply_flux(
+                p, cfg, hidden_states=lat, encoder_hidden_states=embeds,
+                pooled_projections=pooled,
+                timestep=jnp.full((b,), 0.5, jnp.float32),
+                img_ids=ids, guidance=jnp.full((b,), 3.5, jnp.float32),
+            )
+            return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+
+        return loss_fn
+
+    # --- fwd+bwd-only at two depths (no optimizer state -> (4,8) fits) ---
+    fb_rows = []
+    fb_depths = [(2, 4), (4, 8)] if on_tpu else [(1, 2), (2, 3)]
+    for nd, ns in fb_depths:
+        cfg, params = build(nd, ns)
+        loss_fn = make_loss(cfg)
+
+        @jax.jit
+        def grad_step(p, lat):
+            loss, grads = jax.value_and_grad(loss_fn)(p, lat)
+            return loss, grads
+
+        loss, grads = grad_step(params, latents)
+        float(loss)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            loss, grads = grad_step(params, latents)
+        float(loss)
+        dt = (time.perf_counter() - t0) / reps
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        fb_rows.append((nd, ns, dt, n_params))
+        log(f"fwd+bwd depth ({nd},{ns}): {dt * 1000:.1f} ms "
+            f"({n_params / 1e9:.2f}B params)")
+        del params, grads
+
+    # --- full train step (grad + AdamW) at the largest depth that fits ---
+    nd, ns = fb_depths[0]
+    cfg, params = build(nd, ns)
+    loss_fn = make_loss(cfg)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    tx = optax.adamw(1e-6)
+    opt = tx.init(params)
+
+    @jax.jit
+    def train_step(p, opt, lat):
+        loss, grads = jax.value_and_grad(loss_fn)(p, lat)
+        updates, opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), opt, loss
+
+    params, opt, loss = train_step(params, opt, latents)
+    float(loss)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        params, opt, loss = train_step(params, opt, latents)
+    float(loss)
+    dt_step = (time.perf_counter() - t0) / reps
+
+    # MFU under both accountings (VERDICT r2 #3): 4x counts the remat
+    # re-forward as useful FLOPs; standard practice is 3x (fwd + 2x bwd).
+    tokens = 2 * s_tgt + s_txt
+    mfu4 = 4 * 2 * n_params * tokens * b / dt_step / 197e12
+    mfu3 = 3 * 2 * n_params * tokens * b / dt_step / 197e12
+    log(f"train step depth ({nd},{ns}): {dt_step * 1000:.1f} ms, "
+        f"MFU {mfu3:.3f} (3x standard) / {mfu4:.3f} (4x remat-credited)")
+
+    # full-depth estimate: measured two-depth fwd+bwd fit + measured
+    # optimizer-update cost scaled linearly in param count
+    (d1, s1, t1, p1), (d2, s2, t2, p2) = fb_rows
+    # per-block-unit cost from the two points (dual counts 1, single 0.5x
+    # width but same token count -> use the same (nd + 2ns)-unit scale as
+    # the inference fit)
+    u1, u2 = d1 + 2 * s1, d2 + 2 * s2
+    slope = (t2 - t1) / (u2 - u1)
+    const = t1 - slope * u1
+    t_fb_full = slope * (19 + 2 * 38) + const
+    t_opt = dt_step - t1  # optimizer+update overhead at depth fb_depths[0]
+    full_params = 11.9e9 if on_tpu else p1 * (19 + 2 * 38) / u1
+    t_full = t_fb_full + t_opt * (full_params / p1)
+    log(f"full-depth (19,38) estimate: fwd+bwd {t_fb_full:.2f}s (two-depth "
+        f"fit) + optimizer {t_opt * full_params / p1:.2f}s (measured at "
+        f"({d1},{s1}), scaled by params) = {t_full:.2f}s/step")
+    log("note: a true (19,38) bf16 single-chip train step is infeasible on "
+        "16GB HBM (24GB params alone); multi-chip training is validated by "
+        "dryrun_multichip and tests/test_trainer_integration.py")
+
+    return {
+        "train_step_ms_depth": round(dt_step * 1000, 1),
+        "train_depth": [nd, ns],
+        "train_mfu_3x": round(mfu3, 3),
+        "train_mfu_4x_remat": round(mfu4, 3),
+        "fwd_bwd_rows": [[d, s, round(t, 4)] for d, s, t, _ in fb_rows],
+        "train_step_s_full_depth_est": round(t_full, 2),
+        "params_bench": n_params,
+    }
+
+
+# --------------------------------------------------------------------------
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=["scan", "e2e", "train"])
+    ap.add_argument("--out")
+    args = ap.parse_args()
+
+    if args.phase is None:
+        sys.exit(supervise())
+
+    res = {"scan": phase_scan, "e2e": phase_e2e, "train": phase_train}[args.phase]()
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res, f)
     else:
-        value = imgs_per_sec
-        metric = ("1024x1024 28-step FLUX-Kontext edits/sec/chip "
-                  "(full-depth extrapolated from depth-scaled timings)")
-    print(json.dumps({
-        "metric": metric,
-        "value": round(value, 5),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(value / baseline_per_chip, 4),
-    }))
+        log(json.dumps(res))
 
 
 if __name__ == "__main__":
