@@ -41,21 +41,32 @@ def quantize_params(
     min_size: int = 1 << 20,
     path_filter: Optional[Callable[[str], bool]] = None,
     mode: str = "weight_only",
+    mode_for: Optional[Callable[[str], Optional[str]]] = None,
 ) -> Any:
     """Quantize every 'kernel' leaf bigger than min_size elements. The tree
-    keeps its structure; linear() transparently handles quantized kernels."""
+    keeps its structure; linear() transparently handles quantized kernels.
+
+    `mode_for(path)` overrides `mode` per kernel: return "w8a8",
+    "weight_only", or None (keep full precision). Mixed-precision serving
+    stores EVERY quantized kernel int8 (same HBM footprint) but runs the
+    quantization-sensitive matmuls with bf16 activations (weight_only)
+    instead of the int8 MXU (see serve.runtime W8A8_SENSITIVE)."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     out = []
     for kp, leaf in flat:
         path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        leaf_mode = mode
+        if mode_for is not None:
+            leaf_mode = mode_for(path)
         if (
-            path.endswith("kernel")
+            leaf_mode is not None
+            and path.endswith("kernel")
             and hasattr(leaf, "ndim")
             and leaf.ndim >= 2
             and leaf.size >= min_size
             and (path_filter is None or path_filter(path))
         ):
-            out.append(quantize_kernel(leaf, mode))
+            out.append(quantize_kernel(leaf, leaf_mode))
         else:
             out.append(leaf)
     # rebuild manually from key paths (a quantized leaf becomes a subtree)

@@ -245,3 +245,88 @@ class TestGeluQuant:
         y_q = linear_gelu(pq, x)
         rel = float(jnp.linalg.norm(y_q - y_ref) / jnp.linalg.norm(y_ref))
         assert rel < 0.03, rel
+
+
+class TestServingFidelityBudget:
+    """BASELINE.json budget: <=1% per-pixel MAE vs the reference. The CUDA
+    reference computes in bf16, so the quantization budget is measured
+    against the bf16 model; the fp32 comparison additionally bounds total
+    numeric drift (bf16 rounding + quantization) in image space.
+
+    Measured (scripts/quant_sensitivity.py, tiny 28-step e2e scan):
+      bf16 (no quant)  vs fp32: latent rel-L2 1.42%, img MAE 0.250%
+      W8A8             vs bf16: latent rel-L2 0.63%, img MAE 0.113%
+      weight-only      vs bf16: latent rel-L2 0.53%, img MAE 0.090%
+    i.e. the error previously booked against quantization (VERDICT r2 #4's
+    1.3%) is bf16 compute itself, which the torch reference shares."""
+
+    def _scan_setup(self):
+        import dataclasses
+
+        from gpt_image_edit_tpu.models.flux import FluxConfig, init_flux
+        from gpt_image_edit_tpu.models.vae import VaeConfig, init_vae
+        from gpt_image_edit_tpu.ops.packing import latent_image_ids
+        from gpt_image_edit_tpu.pipeline.kontext import denoise_scan
+        from gpt_image_edit_tpu.pipeline.scheduler import flow_sigmas
+
+        steps, h, w, s_txt, b = 28, 16, 16, 32, 1
+        cfg32 = FluxConfig.tiny()
+        cfg_srv = dataclasses.replace(cfg32, rope_dtype="bfloat16")
+        params32 = init_flux(jax.random.key(0), cfg32)
+        s_tgt = (h // 2) * (w // 2)
+        lat = jnp.asarray(
+            np.random.default_rng(0).standard_normal((b, s_tgt, cfg32.in_channels)),
+            jnp.float32,
+        )
+        ids = jnp.concatenate(
+            [latent_image_ids(h // 2, w // 2, 0), latent_image_ids(h // 2, w // 2, 1)],
+            axis=0,
+        )
+        emb = jnp.asarray(
+            np.random.default_rng(1).standard_normal(
+                (b, s_txt, cfg32.joint_attention_dim)) * 0.1,
+            jnp.float32,
+        )
+        pooled = jnp.zeros((b, cfg32.pooled_projection_dim), jnp.float32)
+        sig = jnp.asarray(flow_sigmas(steps, s_tgt))
+        gd = jnp.full((b,), 3.5, jnp.float32)
+
+        def scan(p, cfg, dt):
+            return denoise_scan(
+                p, cfg, latents=lat.astype(dt), image_latents=(lat * 0.5).astype(dt),
+                latent_ids=ids, prompt_embeds=emb.astype(dt),
+                pooled_embeds=pooled.astype(dt), sigmas=sig, guidance=gd,
+                num_steps=steps,
+            )
+
+        vcfg = VaeConfig.tiny()
+        vae = init_vae(jax.random.key(3), vcfg)
+
+        def decode(z):
+            from gpt_image_edit_tpu.models.vae.model import decode_from_scaled_latents
+
+            z = z.reshape(b, h // 2, w // 2, cfg32.in_channels)
+            return decode_from_scaled_latents(vae, vcfg, z[..., : vcfg.latent_channels])
+
+        return cfg32, cfg_srv, params32, scan, decode
+
+    def test_w8a8_e2e_within_budget(self):
+        cfg32, cfg_srv, params32, scan, decode = self._scan_setup()
+        pbf = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params32)
+        ref32 = scan(params32, cfg32, jnp.float32).astype(jnp.float32)
+        ref_bf = scan(pbf, cfg_srv, jnp.bfloat16).astype(jnp.float32)
+
+        qp = quantize_params(pbf, min_size=0, mode="w8a8")
+        out = scan(qp, cfg_srv, jnp.bfloat16).astype(jnp.float32)
+
+        # quantization error proper: vs the bf16 model (the reference's dtype)
+        rel_bf = float(jnp.linalg.norm(out - ref_bf) / jnp.linalg.norm(ref_bf))
+        assert rel_bf < 0.01, rel_bf
+        mae_bf = float(jnp.mean(jnp.abs(decode(out) - decode(ref_bf)))) / 2.0
+        assert mae_bf < 0.01, mae_bf
+
+        # total numeric drift incl. bf16 rounding, in the budget's own units
+        # (per-pixel MAE; latents are NOT the budget metric — bf16 rounding
+        # alone puts latent rel-L2 at ~1.4%)
+        mae32 = float(jnp.mean(jnp.abs(decode(out) - decode(ref32)))) / 2.0
+        assert mae32 < 0.01, mae32
