@@ -44,15 +44,32 @@ def main():
     ap.add_argument("--model_name", default="gpt_image_edit_tpu")
     ap.add_argument("--judge_model", default="gpt-4.1")
     ap.add_argument("--base_url", default=None)
+    ap.add_argument(
+        "--backbone", default="gpt", choices=["gpt", "qwen25vl"],
+        help="judge MLLM: OpenAI-protocol API (gpt) or the local Qwen2.5-VL "
+             "running on this repo's own model (ref:step2_gedit_bench.py "
+             "--backbone)",
+    )
+    ap.add_argument(
+        "--backbone_path", default=None,
+        help="Qwen2.5-VL(-Instruct) checkpoint dir for --backbone qwen25vl",
+    )
     ap.add_argument("--complexity", type=int, default=8)
     ap.add_argument("--n", type=int, default=20, help="complex-edit samples per item")
     ap.add_argument("--m", type=int, default=5, help="complex-edit responses per call")
     ap.add_argument("--max_workers", type=int, default=5)
     args = ap.parse_args()
 
-    from gpt_image_edit_tpu.eval.judge import GPTJudge
+    if args.backbone == "qwen25vl":
+        from gpt_image_edit_tpu.eval.qwen_judge import Qwen25VLJudge
 
-    client = GPTJudge(model=args.judge_model, base_url=args.base_url)
+        client = Qwen25VLJudge(args.backbone_path)
+        backbone_name = "qwen25vl"
+    else:
+        from gpt_image_edit_tpu.eval.judge import GPTJudge
+
+        client = GPTJudge(model=args.judge_model, base_url=args.base_url)
+        backbone_name = "gpt4o"
 
     if args.benchmark == "imgedit":
         from gpt_image_edit_tpu.eval import imgedit
@@ -74,9 +91,9 @@ def main():
         gedit.step2_judge(
             samples, source_path=args.source_path, save_path=args.save_path,
             model_name=args.model_name, client=client,
-            max_workers=args.max_workers,
+            backbone=backbone_name, max_workers=args.max_workers,
         )
-        csv_dir = os.path.join(args.save_path, "gpt4o", "eval_results_new")
+        csv_dir = os.path.join(args.save_path, backbone_name, "eval_results_new")
         print(json.dumps(gedit.analyze_scores(csv_dir, args.model_name), indent=1))
     elif args.benchmark == "complex_edit":
         from glob import glob

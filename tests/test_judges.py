@@ -328,3 +328,58 @@ class TestImgEditAsset:
         assert ours == release
         assert set(ours) >= {"replace", "add", "alter", "remove", "style",
                              "action", "extract", "background", "compose"}
+
+
+class TestQwen25VLJudgeBackbone:
+    """Local Qwen2.5-VL judge (eval.qwen_judge, the reference's
+    --backbone qwen25vl path, ref:viescore/mllm_tools/qwen25vl_eval.py)
+    running mocked tiny weights end to end."""
+
+    def test_protocol_and_viescore_e2e(self, tmp_path):
+        from gpt_image_edit_tpu.eval.qwen_judge import Qwen25VLJudge
+        from gpt_image_edit_tpu.eval.viescore import VIEScore
+
+        src = _png(tmp_path / "src.png", seed=1)
+        edit = _png(tmp_path / "edit.png", seed=2)
+        judge = Qwen25VLJudge(tiny=True, max_new_tokens=4)
+
+        # raw protocol surface (images-then-text user turn, greedy decode)
+        out = judge.score("Rate this edit.", [str(src), str(edit)])
+        assert isinstance(out, str)
+        multi = judge.score_multi("Rate.", [str(src)], n=3, system="Judge.")
+        assert len(multi) == 3 and len(set(multi)) == 1  # greedy => identical
+
+        # text-only judging must also work (no vision tower involved)
+        out_text = judge.score("Score: answer with a number.", [])
+        assert isinstance(out_text, str)
+
+        # full VIEScore loop: tiny random weights answer garbage, so the
+        # protocol retries once then deterministically guesses — the judge
+        # pipeline must complete rather than stall (ref give-up behavior)
+        vie = VIEScore(judge, task="tie", seed=7)
+        sc, pq, overall = vie.evaluate([str(src), str(edit)], "make it blue")
+        assert 0 <= sc <= 10 and 0 <= pq <= 10
+        assert overall == pytest.approx((sc * pq) ** 0.5)
+
+    def test_gedit_step2_with_local_backbone(self, tmp_path):
+        """step2_judge writes its CSVs under the qwen25vl backbone dir."""
+        from gpt_image_edit_tpu.eval import gedit
+        from gpt_image_edit_tpu.eval.qwen_judge import Qwen25VLJudge
+
+        group = "color_alter"
+        samples = []
+        for i, key in enumerate(("k1",)):
+            _png(tmp_path / "src" / "fullset" / group / "en" / f"{key}_SRCIMG.png", seed=i)
+            _png(tmp_path / "gen" / "fullset" / group / "en" / f"{key}.png", seed=10 + i)
+            samples.append({
+                "key": key, "task_type": group, "instruction": "recolor",
+                "instruction_language": "en", "Intersection_exist": True,
+            })
+        judge = Qwen25VLJudge(tiny=True, max_new_tokens=4)
+        gedit.step2_judge(
+            samples, source_path=str(tmp_path / "src"),
+            save_path=str(tmp_path / "gen"), model_name="m", client=judge,
+            backbone="qwen25vl", max_workers=1,
+        )
+        out_dir = tmp_path / "gen" / "qwen25vl" / "eval_results_new"
+        assert (out_dir / "m_combined_gpt_score.csv").exists()
