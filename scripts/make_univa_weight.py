@@ -1,14 +1,22 @@
 #!/usr/bin/env python
-"""Checkpoint surgery: Qwen2.5-VL + FLUX transformer -> one merged UniVA dir.
+"""Checkpoint surgery: Qwen(2/2.5)-VL + FLUX/SD3 transformer -> one merged
+UniVA dir.
 
-TPU-native equivalent of ref:scripts/make_univa_qwen2p5vl_weight.py — instead
-of instantiating torch modules and save_pretrained, this streams safetensors
-and remaps names (no 19B of RAM needed):
+TPU-native equivalent of ref:scripts/make_univa_qwen2p5vl_weight.py and
+ref:scripts/make_univa_qwen2vl_weight.py (which also carries the sd3
+denoiser branch) — instead of instantiating torch modules and
+save_pretrained, this streams safetensors and remaps names (no 19B of RAM
+needed):
 
   python scripts/make_univa_weight.py \
-      --qwen_path <Qwen2.5-VL-7B-Instruct dir> \
+      --qwen_path <Qwen2.5-VL-7B-Instruct or Qwen2-VL-7B-Instruct dir> \
       --flux_path <FLUX.1-Kontext-dev dir (transformer/ subfolder used)> \
-      --output <merged dir> [--mlp2 denoise_projector.bin]
+      --output <merged dir> [--mlp2 denoise_projector.bin] \
+      [--model_type qwen2p5vl|qwen2vl] [--denoiser flux|sd3]
+
+The key remap is shared: both Qwen generations store visual.*/model.*
+(old naming) or model.visual./model.language_model. (new naming), and the
+denoiser grafts under denoise_tower.denoiser.* either way.
 """
 
 from __future__ import annotations
@@ -39,6 +47,13 @@ def main():
     ap.add_argument("--flux_path", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--mlp2", default=None, help="pretrained denoise_projector.bin")
+    ap.add_argument("--model_type", default="qwen2p5vl",
+                    choices=["qwen2p5vl", "qwen2vl"],
+                    help="base VLM family (ref has one surgery script per "
+                         "family; the streaming remap is shared)")
+    ap.add_argument("--denoiser", default="flux", choices=["flux", "sd3"],
+                    help="denoise tower graft (ref:make_univa_qwen2vl_weight"
+                         ".py model_type sd3 branch)")
     ap.add_argument("--shard_gb", type=float, default=4.0)
     args = ap.parse_args()
 
@@ -83,8 +98,14 @@ def main():
         put(f"denoise_tower.denoiser.{k}", flux_src.get(k))
 
     # MLP2 projector: pretrained or fresh (ref initializes it inside the
-    # wrapper; we mirror diffusers-style init)
+    # wrapper; we mirror diffusers-style init). Input width follows the base
+    # VLM's hidden size (read from its config.json).
     fcfg = FluxConfig()
+    qwen_cfg_path = os.path.join(args.qwen_path, "config.json")
+    hidden = 3584
+    if os.path.exists(qwen_cfg_path):
+        with open(qwen_cfg_path) as f:
+            hidden = json.load(f).get("hidden_size", hidden)
     if args.mlp2:
         import torch
 
@@ -94,7 +115,7 @@ def main():
             put(name, v.float().numpy())
     else:
         rng = np.random.default_rng(0)
-        din, dout = 3584, fcfg.joint_attention_dim
+        din, dout = hidden, fcfg.joint_attention_dim
         hid = dout * 3
         put("denoise_tower.denoise_projector.0.weight",
             (rng.standard_normal((hid, din)) * din ** -0.5).astype(np.float32))
@@ -107,6 +128,15 @@ def main():
     with open(os.path.join(args.output, "model.safetensors.index.json"), "w") as f:
         json.dump({"metadata": {"total_size": total_size[0]},
                    "weight_map": weight_map}, f)
+
+    # record the wrapper metadata the loaders key on (model_type selects the
+    # qwen2vl vs qwen2p5vl M-RoPE variant; denoiser_type the tower family)
+    with open(os.path.join(args.output, "univa_config.json"), "w") as f:
+        json.dump({"model_type": args.model_type,
+                   "denoiser_type": args.denoiser,
+                   "input_hidden_size": hidden,
+                   "output_hidden_size": fcfg.joint_attention_dim,
+                   "denoise_projector_type": "mlp2x_gelu"}, f, indent=1)
 
     # carry tokenizer/processor files along (ref saves processor too)
     for fname in os.listdir(args.qwen_path):

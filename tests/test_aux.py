@@ -82,3 +82,25 @@ def test_validation_run_standalone(tmp_path):
     import os
 
     assert os.path.exists(paths[0]) and "step_7" in paths[0]
+
+
+class TestLvlmConfigStub:
+    """Schema parity with ref:univa/training/configuration_lvlm.py (the
+    LVLM-pretrain extension point; loader-level test)."""
+
+    def test_from_dict_roundtrip(self):
+        from gpt_image_edit_tpu.training.config_lvlm import (
+            UnivaLvlmTrainingConfig,
+        )
+
+        cfg = UnivaLvlmTrainingConfig.from_dict(
+            {"output_dir": "o", "learning_rate": 2e-5, "warmup_steps": 10},
+            {"data_txt": "d.txt"},
+            {"pretrained_model_path_or_name": "m", "image_processor_path": "p",
+             "train_llm": False},
+        )
+        assert cfg.training_config.learning_rate == 2e-5
+        assert cfg.training_config.extra == {"warmup_steps": 10}
+        assert cfg.dataset_config.data_txt == "d.txt"
+        assert cfg.model_config.train_llm is False
+        assert cfg.model_config.train_lm_head is True
