@@ -39,6 +39,7 @@ def ring_attention(
     pad_mask: Optional[jnp.ndarray] = None,
     causal: bool = False,
     scale: Optional[float] = None,
+    block_kv: int = 512,
 ) -> jnp.ndarray:
     """Sequence-parallel attention on per-shard inputs (call under shard_map).
 
@@ -75,41 +76,71 @@ def ring_attention(
         )
     pad_mask = pad_mask.astype(jnp.bool_)
 
-    q32 = q.astype(jnp.float32)
     q_pos = idx * sq + jnp.arange(sq)  # global query positions
 
-    q5 = q32.reshape(b, sq, hkv, g, d)
+    # Blocked online softmax within each hop (flash-attention structure in
+    # jnp): scores materialize only one (Sq_local, block_kv) tile at a time,
+    # q/k/v stay in their input dtype on the MXU (fp32 accumulation via
+    # preferred_element_type), and probs are cast to v.dtype for the PV dot
+    # exactly like the Pallas kernel. Pure jnp -> jax.grad still
+    # differentiates the whole ring through ppermute's transpose rule.
+    block = min(block_kv, skv)
+    pad_len = (-skv) % block
+    if pad_len:  # pad KV once before the ring; padded keys are mask-False
+        zk = jnp.zeros((b, pad_len, hkv, d), k.dtype)
+        k = jnp.concatenate([k, zk], axis=1)
+        v = jnp.concatenate([v, jnp.zeros((b, pad_len, hkv, d), v.dtype)], axis=1)
+        pad_mask = jnp.concatenate(
+            [pad_mask, jnp.zeros((b, pad_len), jnp.bool_)], axis=1
+        )
+    nb = (skv + pad_len) // block
+    q5 = q.reshape(b, sq, hkv, g, d)
 
     def hop(carry, t):
         k_c, v_c, mask_c, m, l, acc = carry
-        s = jnp.einsum(
-            "bqhgd,bkhd->bhgqk", q5, k_c.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        ).reshape(b, hq, sq, skv) * scale
-        keep = mask_c[:, None, None, :]
-        if causal:
-            src = (idx + t) % n  # whose KV block this hop holds
-            k_pos = src * skv + jnp.arange(skv)
-            keep = jnp.logical_and(keep, (k_pos[None, :] <= q_pos[:, None])[None, None])
-        s = jnp.where(keep, s, _NEG_INF)
+        src = (idx + t) % n  # whose KV block this hop holds
 
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m, m_cur)
-        p = jnp.exp(s - m_new)
-        p = jnp.where(keep, p, 0.0)
-        alpha = jnp.exp(m - m_new)
-        l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-        # alpha is (B, H, Sq, 1); the accumulator is BSHD
-        acc = acc * alpha[..., 0].transpose(0, 2, 1)[..., None] + jnp.einsum(
-            "bhgqk,bkhd->bqhgd",
-            p.reshape(b, hkv, g, sq, skv),
-            v_c.astype(jnp.float32),
-        ).reshape(b, sq, hq, d)
+        def block_step(inner, i):
+            m, l, acc = inner
+            kb = jax.lax.dynamic_slice_in_dim(k_c, i * block, block, axis=1)
+            vb = jax.lax.dynamic_slice_in_dim(v_c, i * block, block, axis=1)
+            mb = jax.lax.dynamic_slice_in_dim(mask_c, i * block, block, axis=1)
+            s = jnp.einsum(
+                "bqhgd,bkhd->bhgqk", q5, kb,
+                preferred_element_type=jnp.float32,
+            ).reshape(b, hq, sq, block) * scale
+            keep = mb[:, None, None, :]
+            if causal:
+                # positions index the ORIGINAL skv; padded tail keys carry
+                # out-of-range positions but are already mask-False
+                k_pos = src * skv + i * block + jnp.arange(block)
+                keep = jnp.logical_and(
+                    keep, (k_pos[None, :] <= q_pos[:, None])[None, None]
+                )
+            s = jnp.where(keep, s, _NEG_INF)
 
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m, m_cur)
+            p = jnp.exp(s - m_new)
+            p = jnp.where(keep, p, 0.0)
+            alpha = jnp.exp(m - m_new)
+            l = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jnp.einsum(
+                "bhgqk,bkhd->bqhgd",
+                p.reshape(b, hkv, g, sq, block).astype(vb.dtype), vb,
+                preferred_element_type=jnp.float32,
+            ).reshape(b, sq, hq, d)
+            # alpha is (B, H, Sq, 1); the accumulator is BSHD
+            acc = acc * alpha[..., 0].transpose(0, 2, 1)[..., None] + pv
+            return (m_new, l, acc), None
+
+        (m, l, acc), _ = jax.lax.scan(
+            block_step, (m, l, acc), jnp.arange(nb)
+        )
         k_n = jax.lax.ppermute(k_c, axis_name, perm)
         v_n = jax.lax.ppermute(v_c, axis_name, perm)
         mask_n = jax.lax.ppermute(mask_c, axis_name, perm)
-        return (k_n, v_n, mask_n, m_new, l, acc), None
+        return (k_n, v_n, mask_n, m, l, acc), None
 
     m0 = jnp.full((b, hq, sq, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, hq, sq, 1), jnp.float32)
@@ -138,6 +169,7 @@ def context_parallel_attention(
     pad_mask: Optional[jnp.ndarray] = None,
     causal: bool = False,
     scale: Optional[float] = None,
+    block_kv: int = 512,
 ) -> jnp.ndarray:
     """Globally-shaped convenience wrapper: shards the sequence dim of BSHD
     q/k/v over `axis_name`, runs ring_attention, returns the global output
@@ -151,7 +183,8 @@ def context_parallel_attention(
     call under ``jax.sharding.set_mesh(mesh)`` (or inside a jit whose
     arguments carry NamedShardings of that mesh)."""
     fn = functools.partial(
-        ring_attention, axis_name=axis_name, causal=causal, scale=scale
+        ring_attention, axis_name=axis_name, causal=causal, scale=scale,
+        block_kv=block_kv,
     )
     qspec = P(None, axis_name, None, None)
     mspec = P(None, axis_name)

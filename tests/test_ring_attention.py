@@ -155,3 +155,52 @@ class TestContextParallelFlux:
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-3
             )
+
+
+class TestBlockedHop:
+    """The per-hop computation is a blocked online softmax (VERDICT r2 #6):
+    scores materialize one (Sq_local, block_kv) tile at a time. Small
+    block_kv values force multiple inner blocks AND the ragged-tail padding
+    path; results must be identical to the unblocked reference."""
+
+    @pytest.mark.parametrize("block_kv", [8, 12, 16, 512])
+    def test_block_sizes_match_reference(self, seq_mesh, block_kv):
+        b, s, h, d = 1, 128, 2, 16  # 16 tokens/shard; block 12 -> pad 8
+        q, k, v = (_rand((b, s, h, d), 20 + i) for i in range(3))
+        ref = dot_product_attention(q, k, v, impl="xla")
+        out = context_parallel_attention(
+            q, k, v, mesh=seq_mesh, block_kv=block_kv
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_blocked_with_pad_mask_and_causal(self, seq_mesh):
+        b, s, h, d = 1, 64, 2, 16  # 8 tokens/shard, block 5 -> ragged pad
+        q, k, v = (_rand((b, s, h, d), 30 + i) for i in range(3))
+        pm = jnp.asarray(
+            np.random.default_rng(9).integers(0, 2, (b, s)).astype(bool)
+        )
+        pm = pm.at[:, :2].set(True)  # every query keeps >= 1 visible key
+        ref = dot_product_attention(q, k, v, pad_mask=pm, causal=True, impl="xla")
+        out = context_parallel_attention(
+            q, k, v, mesh=seq_mesh, pad_mask=pm, causal=True, block_kv=5
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_blocked_gradients(self, seq_mesh):
+        b, s, h, d = 1, 64, 2, 8
+        q, k, v = (_rand((b, s, h, d), 40 + i) for i in range(3))
+
+        def loss_ring(q, k, v):
+            return jnp.sum(
+                context_parallel_attention(
+                    q, k, v, mesh=seq_mesh, block_kv=6
+                ) ** 2
+            )
+
+        def loss_ref(q, k, v):
+            return jnp.sum(dot_product_attention(q, k, v, impl="xla") ** 2)
+
+        g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g_ring, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
