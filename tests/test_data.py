@@ -159,3 +159,67 @@ class TestLlavaDataset:
         assert labels[-1] == C.VISION_START_ID and (labels == -100).sum() > 0
         assert s["pixel_values"].shape == (1, 32, 32, 3)
         assert s["target_pixels"].shape == (64, 64, 3)
+
+
+class TestOcrPhraseProtocol:
+    """9-grid phrase format parity vs the reference's own pure functions
+    (ref:univa/utils/get_ocr.py:33-121), exec'd from the reference source
+    (paddleocr itself stays an optional host dependency)."""
+
+    def _ref_fns(self):
+        import ast
+
+        path = "/root/reference/univa/utils/get_ocr.py"
+        tree = ast.parse(open(path).read())
+        wanted = {
+            "calculate_position", "process_dataframe",
+            "format_for_text_to_image_condensed",
+        }
+        fns = [n for n in tree.body
+               if isinstance(n, ast.FunctionDef) and n.name in wanted]
+        assert len(fns) == len(wanted)
+        import pandas as pd
+        ns = {"pd": pd}
+        exec(compile(ast.Module(fns, []), path, "exec"), ns)
+        return ns
+
+    def test_position_and_sentence_parity(self):
+        import pandas as pd
+
+        from gpt_image_edit_tpu.utils.ocr import (
+            filter_and_position,
+            format_condensed,
+        )
+
+        ref = self._ref_fns()
+        w, h = 300, 150
+        rows = [
+            ([[10, 10], [50, 10], [50, 30], [10, 30]], "STOP", 0.99),
+            ([[120, 60], [180, 60], [180, 90], [120, 90]], "GO", 0.95),
+            ([[250, 120], [290, 120], [290, 140], [250, 140]], "EXIT", 0.97),
+            ([[10, 120], [60, 120], [60, 140], [10, 140]], "low-conf", 0.5),
+            ([[15, 12], [52, 12], [52, 28], [15, 28]], "SLOW", 0.92),
+        ]
+        # reference pipeline: DataFrame -> filter+position -> sentence
+        df = pd.DataFrame(rows, columns=["box", "text", "score"])
+        df_p = ref["process_dataframe"](df, w, h)
+        for n in (1, 3, 20):
+            expect = ref["format_for_text_to_image_condensed"](df_p, n)
+            got = format_condensed(filter_and_position(rows, w, h), n)
+            assert got == expect, (got, expect)
+
+    def test_grid_cells_match_reference(self):
+        from gpt_image_edit_tpu.utils.ocr import calculate_position
+
+        ref = self._ref_fns()
+        w, h = 99, 99
+        for cx in (5, 40, 60, 95):
+            for cy in (5, 40, 60, 95):
+                box = [[cx - 2, cy - 2], [cx + 2, cy - 2],
+                       [cx + 2, cy + 2], [cx - 2, cy + 2]]
+                assert calculate_position(box, w, h) == ref["calculate_position"](box, w, h)
+
+    def test_empty_returns_empty(self):
+        from gpt_image_edit_tpu.utils.ocr import format_condensed
+
+        assert format_condensed([], 1) == ""
