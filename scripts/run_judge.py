@@ -45,10 +45,10 @@ def main():
     ap.add_argument("--judge_model", default="gpt-4.1")
     ap.add_argument("--base_url", default=None)
     ap.add_argument(
-        "--backbone", default="gpt", choices=["gpt", "qwen25vl"],
-        help="judge MLLM: OpenAI-protocol API (gpt) or the local Qwen2.5-VL "
-             "running on this repo's own model (ref:step2_gedit_bench.py "
-             "--backbone)",
+        "--backbone", default="gpt", choices=["gpt", "qwen25vl", "gemini"],
+        help="judge MLLM: OpenAI-protocol API (gpt), the local Qwen2.5-VL "
+             "running on this repo's own model, or Gemini "
+             "(ref:step2_gedit_bench.py --backbone, viescore/mllm_tools)",
     )
     ap.add_argument(
         "--backbone_path", default=None,
@@ -65,6 +65,11 @@ def main():
 
         client = Qwen25VLJudge(args.backbone_path)
         backbone_name = "qwen25vl"
+    elif args.backbone == "gemini":
+        from gpt_image_edit_tpu.eval.gemini_judge import GeminiJudge
+
+        client = GeminiJudge()
+        backbone_name = "gemini"
     else:
         from gpt_image_edit_tpu.eval.judge import GPTJudge
 

@@ -383,3 +383,15 @@ class TestQwen25VLJudgeBackbone:
         )
         out_dir = tmp_path / "gen" / "qwen25vl" / "eval_results_new"
         assert (out_dir / "m_combined_gpt_score.csv").exists()
+
+
+def test_gemini_backbone_gated():
+    """GeminiJudge needs google-generativeai (not bundled); construction
+    must fail with an actionable message, never crash generation paths."""
+    import importlib.util
+
+    from gpt_image_edit_tpu.eval.gemini_judge import GeminiJudge
+
+    if importlib.util.find_spec("google.generativeai") is None:
+        with pytest.raises(RuntimeError, match="google-generativeai"):
+            GeminiJudge()
