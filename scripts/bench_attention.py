@@ -18,6 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from gpt_image_edit_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # honor JAX_PLATFORMS before first jax use
     import jax
     import jax.numpy as jnp
 
@@ -27,11 +29,24 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
+    from jax.sharding import Mesh
+
     from gpt_image_edit_tpu.ops.pallas.flash_attention import (
         flash_attention,
         flash_attention_int8,
         flash_attention_qk8,
     )
+    from gpt_image_edit_tpu.ops.ring_attention import context_parallel_attention
+
+    # single-device "ring": one hop over the full sequence == the blocked
+    # per-hop attention of ops/ring_attention.py at the flash kernel's shape
+    # (VERDICT r2 #6 microbench)
+    ring_mesh = Mesh(np.array(jax.devices()[:1]), ("sequence",))
+
+    def ring_hop(q, k, v, pad_mask=None):
+        return context_parallel_attention(
+            q, k, v, mesh=ring_mesh, pad_mask=pad_mask
+        )
 
     def arg(name, default):
         return int(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else default
@@ -96,6 +111,8 @@ def main():
         ("qk8+pad",     flash_attention_qk8,   {"pad_mask": pad}, True),
         ("int8",        flash_attention_int8,  {}, False),
         ("int8+pad",    flash_attention_int8,  {"pad_mask": pad}, True),
+        ("ringhop",     ring_hop,              {}, False),
+        ("ringhop+pad", ring_hop,              {"pad_mask": pad}, True),
     ]:
         if only and not any(name.startswith(o) for o in only):
             continue

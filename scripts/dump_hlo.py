@@ -15,6 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from gpt_image_edit_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # honor JAX_PLATFORMS before first jax use
     mode = sys.argv[1] if len(sys.argv) > 1 else "w8a8"
     nd = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     ns = int(sys.argv[3]) if len(sys.argv) > 3 else 2

@@ -67,6 +67,8 @@ def classify(name):
 
 
 def main():
+    from gpt_image_edit_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # honor JAX_PLATFORMS before first jax use
     mode = sys.argv[1] if len(sys.argv) > 1 else "w8a8"
     nd, ns = 19, 38
     if "--depth" in sys.argv:
