@@ -52,3 +52,27 @@ def test_serve_cli_one_shot(tmp_path):
     ])
     assert p.returncode == 0, p.stdout + p.stderr
     assert out.exists()
+
+
+def test_bench_driver_contract(tmp_path):
+    """The driver runs `python bench.py` and records ONE JSON line from
+    stdout: {metric, value, unit, vs_baseline}. The forced-CPU smoke path
+    must uphold that contract end to end (supervisor -> scan phase -> JSON)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=900, cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, r.stdout
+    out = json.loads(lines[0])
+    assert set(out) == {"metric", "value", "unit", "vs_baseline"}
+    assert out["unit"] == "images/sec/chip" and out["value"] > 0
