@@ -41,6 +41,13 @@ class FluxConfig:
     # apply_rotary_emb upcasts); "bfloat16" keeps the rotation + tables in
     # bf16 — saves repeated f32 table traffic inside the block scans
     rope_dtype: str = "float32"
+    # False = unroll the dual/single block loops instead of lax.scan over
+    # stacked params (serving experiment: the scan's per-layer dynamic
+    # slices showed up as a dominant `copy` bucket in the W8A8 step profile;
+    # unrolled blocks read weights via static slices XLA can fuse). Params
+    # stay in the stacked layout either way. Training keeps scan (per-layer
+    # gating, smaller graphs).
+    scan_blocks: bool = True
 
     @property
     def inner_dim(self) -> int:

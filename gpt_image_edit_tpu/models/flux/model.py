@@ -353,11 +353,19 @@ def apply(
         return (img_n, txt_n), None
 
     dual_gate = None if layer_gate is None else layer_gate[0]
-    (img, txt), _ = jax.lax.scan(
-        functools.partial(dual_body),
-        (img, txt),
-        (params["dual_blocks"], dual_gate),
-    )
+    if cfg.scan_blocks:
+        (img, txt), _ = jax.lax.scan(
+            functools.partial(dual_body),
+            (img, txt),
+            (params["dual_blocks"], dual_gate),
+        )
+    else:
+        # unrolled: per-layer STATIC slices of the stacked params (no
+        # scan dynamic-slice copies; same pytree layout as the scan path)
+        for i in range(cfg.num_layers):
+            p_i = jax.tree_util.tree_map(lambda x: x[i], params["dual_blocks"])
+            g_i = None if dual_gate is None else dual_gate[i]
+            (img, txt), _ = dual_body((img, txt), (p_i, g_i))
 
     x = jnp.concatenate([txt, img], axis=1)
 
@@ -369,7 +377,13 @@ def apply(
         return x_n, None
 
     single_gate = None if layer_gate is None else layer_gate[1]
-    x, _ = jax.lax.scan(single_body, x, (params["single_blocks"], single_gate))
+    if cfg.scan_blocks:
+        x, _ = jax.lax.scan(single_body, x, (params["single_blocks"], single_gate))
+    else:
+        for i in range(cfg.num_single_layers):
+            p_i = jax.tree_util.tree_map(lambda y: y[i], params["single_blocks"])
+            g_i = None if single_gate is None else single_gate[i]
+            x, _ = single_body(x, (p_i, g_i))
 
     x = x[:, s_txt:]
 
