@@ -346,10 +346,11 @@ def phase_scan() -> dict:
     #   weight-only (bf16 compute) — validates the bf16 extrapolation;
     #   W8A8 (int8 MXU matmuls)   — the fast serving mode (~22% faster).
     # Constructed shape-only (a bf16 tree first would OOM the chip).
-    def _full_depth_int8(qkey, attn_impl="auto"):
+    def _full_depth_int8(qkey, attn_impl="auto", scan_blocks=True):
         cfg = dataclasses.replace(
             FluxConfig(), num_layers=19, num_single_layers=38,
             rope_dtype="bfloat16", attention_impl=attn_impl,
+            scan_blocks=scan_blocks,
         )
         abstract = jax.eval_shape(
             lambda key: init_flux(key, cfg, jnp.bfloat16), jax.random.key(0)
@@ -388,12 +389,17 @@ def phase_scan() -> dict:
         # plain W8A8's 827.5 on v5e — the extra q/k quantization pass costs
         # more than the int8 QK dot saves; `--quantize w8a8-qk8` stays
         # opt-in for hardware with a wider int8:bf16 MXU ratio)
-        for qkey, label, attn in [
-            ("q", "int8 weight-only", "auto"),
-            ("q_w8a8", "W8A8", "auto"),
-        ]:
+        variants = [
+            ("q", "int8 weight-only", "auto", True),
+            ("q_w8a8", "W8A8", "auto", True),
+        ]
+        if os.environ.get("GIE_BENCH_UNROLLED"):
+            # unrolled-blocks experiment (first compile is expensive; opt-in
+            # until it has beaten the scan path on a real chip)
+            variants.append(("q_w8a8", "W8A8 unrolled", "auto", False))
+        for qkey, label, attn, scan_b in variants:
             try:
-                t = _full_depth_int8(qkey, attn)
+                t = _full_depth_int8(qkey, attn, scan_blocks=scan_b)
                 log(f"{label} full depth (19 dual, 38 single): {t:.3f}s / "
                     f"{steps}-step scan ({t / steps * 1000:.1f} ms/step) "
                     f"=> {1.0 / t:.4f} img/s/chip MEASURED full model")
