@@ -225,3 +225,26 @@ class TestFlashAttentionQK8:
             np.asarray(ref)
         )
         assert rel < 0.012, rel
+
+
+def test_qk8_ragged_shape_falls_back():
+    """A non-block-aligned sequence reaching the qk8 serving kernel must
+    degrade to the XLA reference (bf16 semantics) instead of crashing
+    (advisor r2: serving requests that escape the resolution buckets)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpt_image_edit_tpu.ops.attention import dot_product_attention
+    from gpt_image_edit_tpu.ops.pallas.flash_attention import flash_attention_qk8
+
+    b, s, h, d = 1, 600, 2, 64  # 600 % 512-block != 0 -> ragged
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    pm = jnp.ones((b, s), bool).at[:, -10:].set(False)
+
+    out = flash_attention_qk8(q, k, v, pad_mask=pm, interpret=True)
+    ref = dot_product_attention(q, k, v, pad_mask=pm, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
