@@ -45,14 +45,15 @@ def main():
     ap.add_argument("--judge_model", default="gpt-4.1")
     ap.add_argument("--base_url", default=None)
     ap.add_argument(
-        "--backbone", default="gpt", choices=["gpt", "qwen25vl", "gemini"],
+        "--backbone", default="gpt", choices=["gpt", "qwen25vl", "gemini", "hf"],
         help="judge MLLM: OpenAI-protocol API (gpt), the local Qwen2.5-VL "
              "running on this repo's own model, or Gemini "
              "(ref:step2_gedit_bench.py --backbone, viescore/mllm_tools)",
     )
     ap.add_argument(
         "--backbone_path", default=None,
-        help="Qwen2.5-VL(-Instruct) checkpoint dir for --backbone qwen25vl",
+        help="checkpoint dir for --backbone qwen25vl (Qwen2.5-VL) or hf "
+             "(any AutoModelForVision2Seq, e.g. idefics2/mantis/minicpmv)",
     )
     ap.add_argument("--complexity", type=int, default=8)
     ap.add_argument("--n", type=int, default=20, help="complex-edit samples per item")
@@ -70,6 +71,13 @@ def main():
 
         client = GeminiJudge()
         backbone_name = "gemini"
+    elif args.backbone == "hf":
+        from gpt_image_edit_tpu.eval.hf_judge import HFVision2SeqJudge
+
+        client = HFVision2SeqJudge(
+            args.backbone_path or "HuggingFaceM4/idefics2-8b"
+        )
+        backbone_name = "hf_vision2seq"
     else:
         from gpt_image_edit_tpu.eval.judge import GPTJudge
 
