@@ -44,6 +44,8 @@ def build_parser():
                         "(~25%% faster serving), w8a8-qk8 = + int8 QK^T in "
                         "attention, w8a8-attn = experimental full int8 "
                         "attention")
+    p.add_argument("--unroll_blocks", action="store_true",
+                   help="unrolled FLUX block loops (no scan dynamic slices)")
     p.add_argument("--no_joint_with_t5", action="store_true",
                    help="skip the T5 suffix concat (ref cli no_joint_with_t5)")
     return p
@@ -57,6 +59,7 @@ def main(argv=None):
     rt = UnivaRuntime(
         args.model_path, args.flux_path, tiny=args.tiny, seed=args.seed,
         quantize=args.quantize, joint_with_t5=not args.no_joint_with_t5,
+        unroll_blocks=args.unroll_blocks,
     )
     image = Image.open(args.image) if args.image else None
 

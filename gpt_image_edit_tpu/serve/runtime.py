@@ -60,6 +60,9 @@ class UnivaRuntime:
         seed: int = 0,
         quantize: Optional[str] = None,  # "int8" weight-only | "w8a8" int8-MXU
         joint_with_t5: bool = True,      # concat T5 after LVLM embeds (ref default)
+        unroll_blocks: bool = False,     # FluxConfig.scan_blocks=False: unrolled
+        # per-layer static slices instead of the block scan (serving perf
+        # experiment; numerics identical up to quant-step noise, tested)
     ):
         self.prompter = Qwen2VLPrompter()
         self.history_images: List[Image.Image] = []
@@ -121,6 +124,8 @@ class UnivaRuntime:
                 f"unknown quantize mode {quantize!r} "
                 "(int8 | w8a8 | w8a8-attn | w8a8-qk8)"
             )
+        if unroll_blocks:
+            self.fcfg = dataclasses.replace(self.fcfg, scan_blocks=False)
 
         # generate-vs-understand routing head (ref:cli.py:42-49), if shipped
         self.task_head = None
