@@ -197,9 +197,11 @@ def supervise() -> int:
     e2e = train = None
     if scan is not None:
         e2e = _run_phase_subprocess("e2e", timeout_s=25 * 60)
-        if e2e is None:
-            wait_for_tpu(max_wait_s=300.0)
-        train = _run_phase_subprocess("train", timeout_s=25 * 60)
+        healthy = e2e is not None or wait_for_tpu(max_wait_s=300.0)
+        if healthy:
+            train = _run_phase_subprocess("train", timeout_s=25 * 60)
+        else:
+            log("skipping train phase: tunnel still down after e2e failure")
 
     if scan is not None:
         _emit(_assemble(scan, e2e, train), save=True)

@@ -143,6 +143,55 @@ If it is concise, you can just copy it as is. Otherwise, provide a more concise 
 
 CATEGORY_NAMES = [name for _, cats in EDIT_CATEGORIES for name, _ in cats]
 
+# few-shot examples injected into every generator call by the release
+# pipeline (ref:generate_edits.py:95-153, byte-identical). The example
+# image ships with the reference release (imgs/example_image.png).
+EXAMPLE_CoT_SEQUENCE = {
+    "reasoning": "The image depicts a whimsical scene with a girl jumping in a field of sunflowers, surrounded by \
+butterflies under a clear sky. To create a more complex and dynamic scene, we introduce various elements and \
+effects in a logical sequence. First, we replace the sunflower field with a grassy field to set a neutral \
+background. Adding a full moon establishes a shift from a daytime setting to a nighttime atmosphere. Changing the \
+moon's color to red enhances the dramatic effect. Removing the butterflies ensures consistency in the transformed \
+scene. The girl's dress is altered to a gothic black dress to match the new theme, and her facial expression \
+is changed to a grim look to further reinforce the dark aesthetic. Finally, applying a twilight filter blends \
+the modifications together, ensuring a cohesive transformation. Each step logically builds upon the previous one, \
+maintaining consistency and avoiding loss of critical information.",
+    "sequence": [
+        {"name": "Change Background", "instruction": "Replace the sunflower field with a grassy field."},
+        {"name": "Add an Object", "instruction": "Add a bright full moon in the sky."},
+        {"name": "Change Color", "instruction": "Change the color of the moon to a deep red."},
+        {"name": "Remove an Object", "instruction": "Remove the butterflies."},
+        {"name": "Replace an Object", "instruction": "Change the girl's dress to a gothic black dress."},
+        {"name": "Change Facial Expression", "instruction": "Make the girl's face expression grim."},
+        {"name": "Apply Filter/Weather", "instruction": "Apply a twilight filter."},
+        {"name": "Add Text", "instruction": "Add a text saying 'Eerie Twilight'."},
+    ]
+}
+
+EXAMPLE_CoT_COMPOUND = {
+    "reasoning": "The sequence of instructions transforms a bright sunflower field into a darker, eerie twilight \
+setting. The sunflower field is replaced with a grassy field, shifting the environment to a more neutral, open \
+landscape. A full moon is added to the sky and then changed to a deep red, reinforcing a mysterious atmosphere. \
+The removal of butterflies eliminates a lively element, further supporting the tone shift. The girl's dress is \
+replaced with a gothic black dress, and her expression is altered to a grim look, aligning her appearance with the \
+overall dark aesthetic. Add a text saying 'Eerie Twilight'. Finally, a twilight filter is applied, adjusting the \
+lighting and color tones to unify the transformed scene.",
+    "compound_instruction": "Change the sunflower field background to a grassy field. Add a deep red full moon in the \
+sky. Remove the butterflies. Change the girl's dress to a gothic black dress and make her expression grim. Apply a \
+twilight filter and enhance the eerie atmosphere."
+}
+
+EXAMPLE_SIMPLIFIED_POS_INPUT = "Apply a sunny filter onto the image to enhance overall skies and lighting."
+EXAMPLE_SIMPLIFIED_POS_OUTPUT = {
+    "need_simplication": "Yes",
+    "instruction": "Apply a sunny filter."
+}
+EXAMPLE_SIMPLIFIED_NEG_INPUT = "Alter the palm tree leaves to a more vibrant green."
+EXAMPLE_SIMPLIFIED_NEG_OUTPUT = {
+    "need_simplication": "No",
+    "instruction": "Alter the palm tree leaves to a more vibrant green."
+}
+
 
 # -- validation (the reference's pydantic checkers, ref:generate_edits.py:55-92)
 
@@ -193,29 +242,62 @@ def _image_part(path: str) -> dict:
             "image_url": {"url": f"data:image/png;base64,{b64}"}}
 
 
-def build_msgs_sequence(image_path: str, num: int) -> List[dict]:
-    return [
+def build_msgs_sequence(
+    image_path: str, num: int, example_image: Optional[str] = None
+) -> List[dict]:
+    """System + (few-shot example turn) + user image
+    (ref:generate_edits.py:167-195, if_example=True)."""
+    msgs = [
         {"role": "system",
          "content": SEQUENCE_TEMPLATE.format(num=num, options=build_option_prompt())},
         {"role": "user", "content": [_image_part(image_path)]},
     ]
+    if example_image is not None:
+        msgs[1:1] = [
+            {"role": "user", "content": [_image_part(example_image)]},
+            {"role": "assistant", "content": json.dumps(EXAMPLE_CoT_SEQUENCE)},
+        ]
+    return msgs
 
 
-def build_msgs_simplify(inst: str) -> List[dict]:
-    return [
+def build_msgs_simplify(inst: str, with_examples: bool = True) -> List[dict]:
+    """System + pos/neg few-shot pairs + user instruction
+    (ref:generate_edits.py:198-232, if_example=True; text-only)."""
+    msgs = [
         {"role": "system", "content": SIMPLIFY_TEMPLATE},
         {"role": "user", "content": inst},
     ]
+    if with_examples:
+        msgs[1:1] = [
+            {"role": "user", "content": EXAMPLE_SIMPLIFIED_POS_INPUT},
+            {"role": "assistant", "content": json.dumps(EXAMPLE_SIMPLIFIED_POS_OUTPUT)},
+            {"role": "user", "content": EXAMPLE_SIMPLIFIED_NEG_INPUT},
+            {"role": "assistant", "content": json.dumps(EXAMPLE_SIMPLIFIED_NEG_OUTPUT)},
+        ]
+    return msgs
 
 
-def build_msgs_compound(image_path: str, sequence: List[dict]) -> List[dict]:
-    return [
+def build_msgs_compound(
+    image_path: str, sequence: List[dict], example_image: Optional[str] = None
+) -> List[dict]:
+    """System + (few-shot example turn) + user image/sequence
+    (ref:generate_edits.py:235-269, if_example=True)."""
+    msgs = [
         {"role": "system", "content": COMPOUND_TEMPLATE},
         {"role": "user", "content": [
             _image_part(image_path),
             {"type": "text", "text": json.dumps(sequence)},
         ]},
     ]
+    if example_image is not None:
+        msgs[1:1] = [
+            {"role": "user", "content": [
+                _image_part(example_image),
+                {"type": "text", "text": json.dumps(EXAMPLE_CoT_SEQUENCE["sequence"])},
+            ]},
+            {"role": "assistant", "content": json.dumps(EXAMPLE_CoT_COMPOUND)},
+        ]
+    return msgs
 
 
 # -- driver ----------------------------------------------------------------
@@ -240,11 +322,14 @@ def generate_for_image(
     client,
     *,
     max_complexity: int = 8,
+    example_image: Optional[str] = None,
 ) -> Dict:
     """One image -> {reasoning, original_sequence, sequence, compound}
-    (ref:generate_edits.py:272-336)."""
+    (ref:generate_edits.py:272-336). `example_image` enables the image-bearing
+    few-shot turns the release pipeline uses (the reference ships it as
+    imgs/example_image.png); the text-only simplify examples are always on."""
     result = _ask_json(
-        client, build_msgs_sequence(image_path, max_complexity),
+        client, build_msgs_sequence(image_path, max_complexity, example_image),
         lambda d: check_sequence(d, max_complexity),
         max_tokens=1024, temperature=1.15,
     )
@@ -267,7 +352,9 @@ def generate_for_image(
     for i in range(1, len(result["sequence"])):
         compound = _ask_json(
             client,
-            build_msgs_compound(image_path, result["sequence"][: i + 1]),
+            build_msgs_compound(
+                image_path, result["sequence"][: i + 1], example_image
+            ),
             check_compound, max_tokens=256,
         )
         result["compound"].append(compound)
@@ -281,6 +368,7 @@ def generate_edits(
     *,
     max_complexity: int = 8,
     resume: bool = True,
+    example_image: Optional[str] = None,
 ) -> List[str]:
     """All *.png under image_dir -> one instruction json each under
     output_dir (resumable). Returns the written json paths."""
@@ -295,7 +383,8 @@ def generate_edits(
             written.append(save_path)
             continue
         result = generate_for_image(
-            image_path, client, max_complexity=max_complexity
+            image_path, client, max_complexity=max_complexity,
+            example_image=example_image,
         )
         with open(save_path, "w") as f:
             json.dump(result, f, indent=4)
@@ -338,11 +427,14 @@ if __name__ == "__main__":
                     help="directory with input *.png images")
     ap.add_argument("--output-path", "-o", required=True)
     ap.add_argument("--max-complexity", "-c", type=int, default=8)
+    ap.add_argument("--example-image", default=None,
+                    help="few-shot example image (the release pipeline's "
+                         "imgs/example_image.png)")
     ap.add_argument("--model", default="gpt-4o-2024-11-20")
     ap.add_argument("--base_url", default=None)
     args = ap.parse_args()
     paths = generate_edits(
         args.path, args.output_path, OpenAIChatClient(args.model, args.base_url),
-        max_complexity=args.max_complexity,
+        max_complexity=args.max_complexity, example_image=args.example_image,
     )
     print(f"{len(paths)} instruction files under {args.output_path}")

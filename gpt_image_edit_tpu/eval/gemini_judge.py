@@ -26,7 +26,13 @@ class GeminiJudge:
                 "(host-side, not bundled); use --backbone gpt or qwen25vl "
                 "instead"
             ) from e
-        genai.configure(api_key=api_key or os.environ["GEMINI_API_KEY"])
+        key = api_key or os.environ.get("GEMINI_API_KEY")
+        if not key:
+            raise RuntimeError(
+                "Gemini judging needs GEMINI_API_KEY (or api_key=); use "
+                "--backbone gpt or qwen25vl instead"
+            )
+        genai.configure(api_key=key)
         self._genai = genai
         self.model = genai.GenerativeModel(
             model_name=model,

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-import numpy as np
-
 
 class Qwen25VLJudge:
     """Judge client over a plain Qwen2.5-VL(-Instruct) checkpoint.
@@ -91,70 +89,28 @@ class Qwen25VLJudge:
         system: Optional[str] = None,
         images_first: bool = True,
     ) -> str:
-        import jax.numpy as jnp
         from PIL import Image
 
         from gpt_image_edit_tpu.data import constants as C
-        from gpt_image_edit_tpu.data.image_processing import preprocess_vit_patches
-        from gpt_image_edit_tpu.models.qwen2p5vl import vision
+        from gpt_image_edit_tpu.data.chat_prep import prepare_chat_inputs
         from gpt_image_edit_tpu.models.qwen2p5vl.model import generate_greedy
-        from gpt_image_edit_tpu.models.qwen2p5vl.rope_index import get_rope_index
 
         images = [Image.open(p).convert("RGB") for p in image_paths]
+        # judge prompts legitimately contain literal "<image>" text (rubrics
+        # quote it); neutralize before adding the real tags so the tag
+        # expansion (and its placeholder-count assert) stays exact
+        text = text.replace("<image>", "<image-literal>")
         tags = "<image>" * len(images)
         value = (tags + text) if images_first else (text + tags)
         conversation = []
         if system is not None:
             conversation.append({"from": "system", "value": system})
         conversation.append({"from": "user", "value": value})
-        prompt = self.prompter(conversation, add_generation_prompt=True)
 
-        patches, grids = [], []
-        for img in images:
-            flat, grid = preprocess_vit_patches(
-                img,
-                patch_size=self.cfg.vision.patch_size,
-                merge_size=self.cfg.vision.spatial_merge_size,
-                temporal_patch_size=self.cfg.vision.temporal_patch_size,
-                min_pixels=self.vit_pixels,
-                max_pixels=self.vit_pixels,
-            )
-            patches.append(flat)
-            grids.append(grid)
-            ntok = int(np.prod(grid)) // self.cfg.vision.merge_unit
-            expansion = (
-                C.SPECIAL_TOKENS["image_begin_token"]
-                + C.SPECIAL_TOKENS["image_token"] * ntok
-                + C.SPECIAL_TOKENS["image_end_token"]
-            )
-            prompt = prompt.replace("<image>", expansion, 1)
-
-        ids = self.tokenizer.encode(prompt)
-        # left-pad to a 64-multiple: bounds jit recompiles across prompts
-        pad_to = ((len(ids) + 63) // 64) * 64
-        pad_id = getattr(self.tokenizer, "pad_token_id", 151643) or 151643
-        input_ids = np.full((1, pad_to), pad_id, dtype=np.int64)
-        attn = np.zeros((1, pad_to), dtype=np.int64)
-        input_ids[0, pad_to - len(ids):] = ids
-        attn[0, pad_to - len(ids):] = 1
-        grid_thw = np.asarray(grids, dtype=np.int64) if grids else None
-        pos, deltas = get_rope_index(
-            input_ids, grid_thw, attn,
-            spatial_merge_size=self.cfg.vision.spatial_merge_size,
-            image_token_id=self.cfg.image_token_id,
-            video_token_id=self.cfg.video_token_id,
-            vision_start_token_id=self.cfg.vision_start_token_id,
+        kwargs, deltas = prepare_chat_inputs(
+            self.prompter, self.tokenizer, self.cfg, conversation, images,
+            vit_pixels=self.vit_pixels,
         )
-        kwargs = dict(
-            input_ids=jnp.asarray(input_ids),
-            position_ids=jnp.asarray(pos),
-            attention_mask=jnp.asarray(attn),
-        )
-        if patches:
-            kwargs["pixel_patches"] = jnp.asarray(np.concatenate(patches, 0))
-            kwargs["vision_aux"] = vision.vision_precompute(
-                grid_thw, self.cfg.vision
-            )
         tokens = generate_greedy(
             self.params, self.cfg,
             rope_delta=int(deltas[0, 0]),

@@ -17,10 +17,7 @@ import numpy as np
 from PIL import Image
 
 from gpt_image_edit_tpu.data import constants as C
-from gpt_image_edit_tpu.data.image_processing import (
-    preprocess_vae_image,
-    preprocess_vit_patches,
-)
+from gpt_image_edit_tpu.data.image_processing import preprocess_vae_image
 from gpt_image_edit_tpu.data.prompter import Qwen2VLPrompter
 from gpt_image_edit_tpu.data.tokenizer import load_tokenizer
 from gpt_image_edit_tpu.models.flux import FluxConfig, init_flux
@@ -29,8 +26,6 @@ from gpt_image_edit_tpu.models.qwen2p5vl import (
     apply_qwen,
     init_qwen,
 )
-from gpt_image_edit_tpu.models.qwen2p5vl import vision
-from gpt_image_edit_tpu.models.qwen2p5vl.rope_index import get_rope_index
 from gpt_image_edit_tpu.models.vae import VaeConfig, init_vae
 from gpt_image_edit_tpu.pipeline.kontext import (
     KontextPipeline,
@@ -169,61 +164,15 @@ class UnivaRuntime:
         *,
         gen_trigger: bool = False,
     ):
-        """ONE prompt-preprocessing path for encode/route/answer (the
-        reference builds these identically through its processor,
-        ref:cli.py:185-196): ChatML render, <image> -> begin + N pads + end
-        expansion, tokenize, M-RoPE ids. Returns (model_kwargs, rope_deltas)."""
-        prompt = self.prompter(conversation, add_generation_prompt=True)
-        if gen_trigger:
-            prompt += C.SPECIAL_TOKENS["image_begin_token"]
+        """ONE prompt-preprocessing path for encode/route/answer — shared
+        with the local judge via data.chat_prep.prepare_chat_inputs
+        (ref:cli.py:185-196). Returns (model_kwargs, rope_deltas)."""
+        from gpt_image_edit_tpu.data.chat_prep import prepare_chat_inputs
 
-        patches, grids = [], []
-        for img in images:
-            flat, grid = preprocess_vit_patches(
-                img,
-                patch_size=self.qcfg.vision.patch_size,
-                merge_size=self.qcfg.vision.spatial_merge_size,
-                temporal_patch_size=self.qcfg.vision.temporal_patch_size,
-                min_pixels=self.vit_pixels,
-                max_pixels=self.vit_pixels,
-            )
-            patches.append(flat)
-            grids.append(grid)
-            n = int(np.prod(grid)) // self.qcfg.vision.merge_unit
-            expansion = (
-                C.SPECIAL_TOKENS["image_begin_token"]
-                + C.SPECIAL_TOKENS["image_token"] * n
-                + C.SPECIAL_TOKENS["image_end_token"]
-            )
-            prompt = prompt.replace("<image>", expansion, 1)
-        assert "<image>" not in prompt, "more <image> placeholders than images"
-
-        ids = self.tokenizer.encode(prompt)
-        # left-pad to a 64-multiple: bounds jit recompiles across prompt
-        # lengths (prefill/decode/denoise graphs key on the static length)
-        pad_to = ((len(ids) + 63) // 64) * 64
-        pad_id = getattr(self.tokenizer, "pad_token_id", 151643)
-        input_ids = np.full((1, pad_to), pad_id, dtype=np.int64)
-        attn = np.zeros((1, pad_to), dtype=np.int64)
-        input_ids[0, pad_to - len(ids):] = ids
-        attn[0, pad_to - len(ids):] = 1
-        grid_thw = np.asarray(grids, dtype=np.int64) if grids else None
-        pos, deltas = get_rope_index(
-            input_ids, grid_thw, attn,
-            spatial_merge_size=self.qcfg.vision.spatial_merge_size,
-            image_token_id=self.qcfg.image_token_id,
-            video_token_id=self.qcfg.video_token_id,
-            vision_start_token_id=self.qcfg.vision_start_token_id,
+        return prepare_chat_inputs(
+            self.prompter, self.tokenizer, self.qcfg, conversation, images,
+            vit_pixels=self.vit_pixels, gen_trigger=gen_trigger,
         )
-        kwargs = dict(
-            input_ids=jnp.asarray(input_ids),
-            position_ids=jnp.asarray(pos),
-            attention_mask=jnp.asarray(attn),
-        )
-        if patches:
-            kwargs["pixel_patches"] = jnp.asarray(np.concatenate(patches, 0))
-            kwargs["vision_aux"] = vision.vision_precompute(grid_thw, self.qcfg.vision)
-        return kwargs, deltas
 
     def _encode_prompt(self, conversation, images: List[Image.Image]):
         """ChatML + <image> expansion -> LVLM denoise_embeds."""

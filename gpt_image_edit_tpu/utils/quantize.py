@@ -47,10 +47,11 @@ def quantize_params(
     keeps its structure; linear() transparently handles quantized kernels.
 
     `mode_for(path)` overrides `mode` per kernel: return "w8a8",
-    "weight_only", or None (keep full precision). Mixed-precision serving
-    stores EVERY quantized kernel int8 (same HBM footprint) but runs the
-    quantization-sensitive matmuls with bf16 activations (weight_only)
-    instead of the int8 MXU (see serve.runtime W8A8_SENSITIVE)."""
+    "weight_only", or None (keep full precision) — the mixed-precision hook
+    scripts/quant_sensitivity.py sweeps with (every quantized kernel stays
+    int8 in HBM; demoted ones run bf16 activations instead of the int8
+    MXU). The sweep found NO demotions necessary at the current error
+    budget, so serving quantizes uniformly."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     out = []
     for kp, leaf in flat:

@@ -105,7 +105,11 @@ def main():
     hidden = 3584
     if os.path.exists(qwen_cfg_path):
         with open(qwen_cfg_path) as f:
-            hidden = json.load(f).get("hidden_size", hidden)
+            qcfg_json = json.load(f)
+        # newer HF Qwen-VL configs nest the LM under text_config
+        hidden = qcfg_json.get(
+            "hidden_size", qcfg_json.get("text_config", {}).get("hidden_size", hidden)
+        )
     if args.mlp2:
         import torch
 
@@ -129,8 +133,9 @@ def main():
         json.dump({"metadata": {"total_size": total_size[0]},
                    "weight_map": weight_map}, f)
 
-    # record the wrapper metadata the loaders key on (model_type selects the
-    # qwen2vl vs qwen2p5vl M-RoPE variant; denoiser_type the tower family)
+    # provenance record of the surgery inputs (which VLM family / denoiser
+    # the merged dir was built from) so operators and future loaders can
+    # select the matching model classes without sniffing tensor names
     with open(os.path.join(args.output, "univa_config.json"), "w") as f:
         json.dump({"model_type": args.model_type,
                    "denoiser_type": args.denoiser,

@@ -234,3 +234,64 @@ class TestComplexEditBuild:
         with pytest.raises(ValueError):
             generate_for_image(str(img), bad, max_complexity=2)
         assert bad.n == 5  # bounded retries
+
+
+class TestComplexEditBuildFewShot:
+    """Few-shot example assets + message structure parity
+    (ref:generate_edits.py:95-270, if_example=True default)."""
+
+    def test_example_assets_byte_identical(self):
+        import ast
+
+        from gpt_image_edit_tpu.eval import complex_edit_build as b
+
+        ref_path = ("/root/reference/univa/eval/complex-edit/build_dataset/"
+                    "generate_edits.py")
+        tree = ast.parse(open(ref_path).read())
+        ref_vals = {}
+        for node in tree.body:
+            if isinstance(node, ast.Assign) and len(node.targets) == 1:
+                name = getattr(node.targets[0], "id", None)
+                if name and name.startswith("EXAMPLE_"):
+                    ref_vals[name] = ast.literal_eval(node.value)
+        assert b.EXAMPLE_CoT_SEQUENCE == ref_vals["EXAMPLE_CoT_SEQUENCE"]
+        assert b.EXAMPLE_CoT_COMPOUND == ref_vals["EXAMPLE_CoT_COMPOUND"]
+        assert b.EXAMPLE_SIMPLIFIED_POS_INPUT == ref_vals["EXAMPLE_SIMPLIFIED_POS_INPUT"]
+        assert b.EXAMPLE_SIMPLIFIED_POS_OUTPUT == ref_vals["EXAMPLE_SIMPLIFIED_POS_OUTPUT"]
+        assert b.EXAMPLE_SIMPLIFIED_NEG_INPUT == ref_vals["EXAMPLE_SIMPLIFIED_NEG_INPUT"]
+        assert b.EXAMPLE_SIMPLIFIED_NEG_OUTPUT == ref_vals["EXAMPLE_SIMPLIFIED_NEG_OUTPUT"]
+
+    def test_fewshot_message_structure(self, tmp_path):
+        import json as _json
+
+        from gpt_image_edit_tpu.eval.complex_edit_build import (
+            EXAMPLE_CoT_SEQUENCE,
+            build_msgs_compound,
+            build_msgs_sequence,
+            build_msgs_simplify,
+        )
+
+        img = tmp_path / "a.png"
+        ex = tmp_path / "ex.png"
+        for p in (img, ex):
+            Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(p)
+
+        # sequence: system, example user image, example assistant, user image
+        msgs = build_msgs_sequence(str(img), 8, str(ex))
+        assert [m["role"] for m in msgs] == ["system", "user", "assistant", "user"]
+        assert _json.loads(msgs[2]["content"]) == EXAMPLE_CoT_SEQUENCE
+        # without the example image: 2 turns (the opt-out shape)
+        assert len(build_msgs_sequence(str(img), 8)) == 2
+
+        # simplify: pos/neg example pairs always on (text-only)
+        msgs = build_msgs_simplify("Remove the big fence from the photo.")
+        assert [m["role"] for m in msgs] == [
+            "system", "user", "assistant", "user", "assistant", "user"
+        ]
+        assert msgs[-1]["content"] == "Remove the big fence from the photo."
+
+        # compound: example turn carries the example image + example sequence
+        msgs = build_msgs_compound(str(img), [{"name": "Add Text",
+                                               "instruction": "Add a title."}],
+                                   str(ex))
+        assert [m["role"] for m in msgs] == ["system", "user", "assistant", "user"]
