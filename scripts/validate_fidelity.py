@@ -22,9 +22,12 @@ Stages validated independently (failures localize):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def mae(a, b):
