@@ -143,10 +143,13 @@ def _assemble(scan: dict, e2e: dict | None, train: dict | None) -> dict:
                      f"= {1.0 / t_e2e:.4f} img/s")
             log(f"e2e: scan {t_best:.2f}s + other {e2e['t_other_s']:.2f}s "
                 f"= {t_e2e:.2f}s/edit ({1.0 / t_e2e:.4f} img/s/chip)")
+        fit_note = (
+            f"bf16 extrapolation {fit:.4f}" if fit == fit else "fit rows lost"
+        )
         metric = (
             f"1024x1024 28-step FLUX-Kontext edits/sec/chip "
             f"(MEASURED full 19+38-block model, {label} serving mode; "
-            f"bf16 extrapolation {fit:.4f}{extra})"
+            f"{fit_note}{extra})"
         )
     else:
         value = fit
@@ -336,8 +339,13 @@ def phase_scan() -> dict:
 
     rows = []
     for nd, ns in depths:
-        cfg, params = build(nd, ns)
-        t = run_once(cfg, params)
+        try:
+            cfg, params = build(nd, ns)
+            t = run_once(cfg, params)
+        except Exception as e:
+            log(f"depth ({nd},{ns}) row failed ({type(e).__name__}): "
+                f"{str(e)[:200]}")
+            continue
         log(f"depth ({nd:2d} dual, {ns:2d} single): {t:.3f}s / {steps}-step scan "
             f"({t / steps * 1000:.1f} ms/step)")
         rows.append((nd, ns, t))
@@ -410,15 +418,20 @@ def phase_scan() -> dict:
                 log(f"{label} full-depth run failed ({type(e).__name__}): {str(e)[:200]}")
 
     # least-squares fit t = a*nd + b*ns + c
-    A = np.array([[nd, ns, 1.0] for nd, ns, _ in rows])
-    y = np.array([t for _, _, t in rows])
-    coef, *_ = np.linalg.lstsq(A, y, rcond=None)
     full_dual, full_single = (19, 38) if on_tpu else (2, 3)
-    t_full = float(coef @ [full_dual, full_single, 1.0])
-    imgs_per_sec = b / t_full
-    log(f"fit: dual {coef[0]*1000:.1f} ms, single {coef[1]*1000:.1f} ms, "
-        f"const {coef[2]*1000:.1f} ms -> full ({full_dual}+{full_single}) "
-        f"scan {t_full:.2f}s => {imgs_per_sec:.4f} img/s/chip")
+    if len(rows) >= 2:
+        A = np.array([[nd, ns, 1.0] for nd, ns, _ in rows])
+        y = np.array([t for _, _, t in rows])
+        coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+        t_full = float(coef @ [full_dual, full_single, 1.0])
+        imgs_per_sec = b / t_full
+        log(f"fit: dual {coef[0]*1000:.1f} ms, single {coef[1]*1000:.1f} ms, "
+            f"const {coef[2]*1000:.1f} ms -> full ({full_dual}+{full_single}) "
+            f"scan {t_full:.2f}s => {imgs_per_sec:.4f} img/s/chip")
+    elif measured:  # depth rows lost but the full-depth runs succeeded
+        imgs_per_sec = float("nan")
+    else:
+        raise RuntimeError("no scan measurements completed")
 
     return {
         "rows": rows,
@@ -612,23 +625,28 @@ def phase_train() -> dict:
     fb_rows = []
     fb_depths = [(2, 4), (4, 8)] if on_tpu else [(1, 2), (2, 3)]
     for nd, ns in fb_depths:
-        cfg, params = build(nd, ns)
-        loss_fn = make_loss(cfg)
+        try:
+            cfg, params = build(nd, ns)
+            loss_fn = make_loss(cfg)
 
-        @jax.jit
-        def grad_step(p, lat):
-            loss, grads = jax.value_and_grad(loss_fn)(p, lat)
-            return loss, grads
+            @jax.jit
+            def grad_step(p, lat):
+                loss, grads = jax.value_and_grad(loss_fn)(p, lat)
+                return loss, grads
 
-        loss, grads = grad_step(params, latents)
-        float(loss)
-        t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
             loss, grads = grad_step(params, latents)
-        float(loss)
-        dt = (time.perf_counter() - t0) / reps
-        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+            float(loss)
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                loss, grads = grad_step(params, latents)
+            float(loss)
+            dt = (time.perf_counter() - t0) / reps
+            n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        except Exception as e:
+            log(f"fwd+bwd depth ({nd},{ns}) failed ({type(e).__name__}): "
+                f"{str(e)[:200]}")
+            continue
         fb_rows.append((nd, ns, dt, n_params))
         log(f"fwd+bwd depth ({nd},{ns}): {dt * 1000:.1f} ms "
             f"({n_params / 1e9:.2f}B params)")
@@ -667,6 +685,16 @@ def phase_train() -> dict:
 
     # full-depth estimate: measured two-depth fwd+bwd fit + measured
     # optimizer-update cost scaled linearly in param count
+    if len(fb_rows) < 2:
+        log("two-depth fit unavailable; reporting the single train-step row")
+        return {
+            "train_step_ms_depth": round(dt_step * 1000, 1),
+            "train_depth": [nd, ns],
+            "train_mfu_3x": round(mfu3, 3),
+            "train_mfu_4x_remat": round(mfu4, 3),
+            "fwd_bwd_rows": [[d, s, round(t, 4)] for d, s, t, _ in fb_rows],
+            "params_bench": n_params,
+        }
     (d1, s1, t1, p1), (d2, s2, t2, p2) = fb_rows
     # per-block-unit cost from the two points (dual counts 1, single 0.5x
     # width but same token count -> use the same (nd + 2ns)-unit scale as
