@@ -525,29 +525,42 @@ def phase_e2e() -> dict:
 
     vcfg = VaeConfig() if on_tpu else VaeConfig.tiny()
     vabs = jax.eval_shape(lambda k: init_vae(k, vcfg), jax.random.key(0))
-    vparams = _shape_params(jax, jnp, vabs)
     hw = 1024 if on_tpu else 32
-    img = jnp.full((b, hw, hw, 3), 0.1, jnp.float32)
 
-    enc = jax.jit(lambda p, x: vae_model.encode_to_scaled_latents(p, vcfg, x))
-    z = enc(vparams, img)
-    _sync(jnp, z)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        z = enc(vparams, img + _sync(jnp, z) * 0.0)
-    _sync(jnp, z)
-    t_enc = (time.perf_counter() - t0) / 3
+    def time_vae(dtype):
+        vparams = _shape_params(jax, jnp, vabs)
+        vparams = jax.tree_util.tree_map(lambda x: x.astype(dtype), vparams)
+        img = jnp.full((b, hw, hw, 3), 0.1, dtype)
 
-    dec = jax.jit(lambda p, z: vae_model.decode_from_scaled_latents(p, vcfg, z))
-    y = dec(vparams, z)
-    _sync(jnp, y)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        y = dec(vparams, z + _sync(jnp, y) * 0.0)
-    _sync(jnp, y)
-    t_dec = (time.perf_counter() - t0) / 3
-    log(f"VAE fp32 {hw}x{hw}: encode {t_enc * 1000:.1f} ms, "
-        f"decode {t_dec * 1000:.1f} ms")
+        enc = jax.jit(lambda p, x: vae_model.encode_to_scaled_latents(p, vcfg, x))
+        z = enc(vparams, img)
+        _sync(jnp, z)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            z = enc(vparams, img + _sync(jnp, z) * 0.0)
+        _sync(jnp, z)
+        t_enc = (time.perf_counter() - t0) / 3
+
+        dec = jax.jit(lambda p, z: vae_model.decode_from_scaled_latents(p, vcfg, z))
+        y = dec(vparams, z)
+        _sync(jnp, y)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            y = dec(vparams, z + _sync(jnp, y) * 0.0)
+        _sync(jnp, y)
+        t_dec = (time.perf_counter() - t0) / 3
+        log(f"VAE {jnp.dtype(dtype).name} {hw}x{hw}: encode {t_enc * 1000:.1f} ms, "
+            f"decode {t_dec * 1000:.1f} ms")
+        return t_enc, t_dec
+
+    # serving default is bf16 (ref:univa/serve/cli.py:39,67 serves the whole
+    # pipeline bf16); fp32 logged for comparison on TPU
+    t_enc, t_dec = time_vae(jnp.bfloat16)
+    if on_tpu:
+        try:
+            time_vae(jnp.float32)
+        except Exception as e:
+            log(f"fp32 VAE comparison row failed ({type(e).__name__})")
 
     t_other = t_vlm + t_enc + t_dec
     log(f"non-scan serving components total: {t_other:.3f}s "

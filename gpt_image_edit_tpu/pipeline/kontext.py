@@ -183,11 +183,22 @@ class KontextPipeline:
         self.flux_cfg = flux_cfg
         self.vae_params = vae_params
         self.vae_cfg = vae_cfg
+        # VAE compute dtype follows the params (the reference serves the
+        # whole pipeline incl. VAE in bf16, ref:univa/serve/cli.py:39,67);
+        # coerce inputs so an fp32 host image doesn't silently promote the
+        # convs back to fp32.
+        vae_dtype = jnp.result_type(
+            *(jax.tree_util.tree_leaves(vae_params)[:1] or [jnp.float32])
+        )
         self._encode = jax.jit(
-            lambda x: encode_to_scaled_latents(vae_params, vae_cfg, x)
+            lambda x: encode_to_scaled_latents(
+                vae_params, vae_cfg, x.astype(vae_dtype)
+            )
         )
         self._decode = jax.jit(
-            lambda z: decode_from_scaled_latents(vae_params, vae_cfg, z)
+            lambda z: decode_from_scaled_latents(
+                vae_params, vae_cfg, z.astype(vae_dtype)
+            )
         )
 
     def encode_reference(self, image: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

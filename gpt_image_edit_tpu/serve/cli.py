@@ -48,6 +48,11 @@ def build_parser():
                    help="unrolled FLUX block loops (no scan dynamic slices)")
     p.add_argument("--no_joint_with_t5", action="store_true",
                    help="skip the T5 suffix concat (ref cli no_joint_with_t5)")
+    p.add_argument("--vae_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="VAE compute dtype (reference serves bf16)")
+    p.add_argument("--quantize_vlm", action="store_true",
+                   help="int8 weight-only VLM trunk (single-chip serving)")
     return p
 
 
@@ -59,7 +64,8 @@ def main(argv=None):
     rt = UnivaRuntime(
         args.model_path, args.flux_path, tiny=args.tiny, seed=args.seed,
         quantize=args.quantize, joint_with_t5=not args.no_joint_with_t5,
-        unroll_blocks=args.unroll_blocks,
+        unroll_blocks=args.unroll_blocks, vae_dtype=args.vae_dtype,
+        quantize_vlm=args.quantize_vlm,
     )
     image = Image.open(args.image) if args.image else None
 

@@ -58,6 +58,11 @@ class UnivaRuntime:
         unroll_blocks: bool = False,     # FluxConfig.scan_blocks=False: unrolled
         # per-layer static slices instead of the block scan (serving perf
         # experiment; numerics identical up to quant-step noise, tested)
+        vae_dtype: str = "bfloat16",     # reference serves the VAE in bf16
+        # (ref:univa/serve/cli.py:39,67); fp32 stats in group_norm keep the
+        # bf16 path numerically benign (tested). "float32" opts out.
+        quantize_vlm: bool = False,      # int8 weight-only VLM trunk (single-
+        # 16GB-chip serving: 7GB trunk + 12GB quantized FLUX via host swap)
     ):
         self.prompter = Qwen2VLPrompter()
         self.history_images: List[Image.Image] = []
@@ -94,6 +99,13 @@ class UnivaRuntime:
             self.tokenizer = load_tokenizer(model_path)
             self.vit_pixels = 200704
 
+        if vae_dtype not in ("bfloat16", "float32"):
+            raise ValueError(f"vae_dtype must be bfloat16|float32, got {vae_dtype!r}")
+        if vae_dtype == "bfloat16":
+            from gpt_image_edit_tpu.models.common import cast_floating
+
+            vae_params = cast_floating(vae_params, jnp.bfloat16)
+
         if quantize in ("int8", "w8a8", "w8a8-attn", "w8a8-qk8"):
             from gpt_image_edit_tpu.utils.quantize import quantize_params
 
@@ -118,6 +130,20 @@ class UnivaRuntime:
             raise ValueError(
                 f"unknown quantize mode {quantize!r} "
                 "(int8 | w8a8 | w8a8-attn | w8a8-qk8)"
+            )
+
+        if quantize_vlm:
+            # int8 weight-only on the frozen VLM trunk: 7B bf16 (14GB) does
+            # not co-reside with the quantized 12B FLUX on one 16GB chip;
+            # int8 (7GB) is what makes single-chip full serving feasible.
+            # Weight-only keeps bf16 activations/compute — the trunk is a
+            # frozen feature extractor here, so the error budget matches the
+            # FLUX weight-only mode's (<0.1% per-forward, test_quantize).
+            from gpt_image_edit_tpu.utils.quantize import quantize_params
+
+            log.info("quantizing VLM weights to int8 (weight_only)")
+            self.qwen_params = quantize_params(
+                self.qwen_params, mode="weight_only", min_size=1 << 20
             )
         if unroll_blocks:
             self.fcfg = dataclasses.replace(self.fcfg, scan_blocks=False)
