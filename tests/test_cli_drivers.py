@@ -76,3 +76,32 @@ def test_bench_driver_contract(tmp_path):
     out = json.loads(lines[0])
     assert set(out) == {"metric", "value", "unit", "vs_baseline"}
     assert out["unit"] == "images/sec/chip" and out["value"] > 0
+
+
+def test_bench_cached_emit_when_tunnel_down(tmp_path):
+    """If the TPU tunnel is down at bench time, the supervisor must degrade
+    to the last good measurement with an explicit CACHED label and rc 0 —
+    never rc 1 (VERDICT r2 #1: round 2's perf evidence was lost exactly this
+    way). Simulated with a nonexistent backend so the probe fails fast."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "nonexistent_backend"
+    env["GIE_BENCH_MAX_WAIT"] = "0"
+    env["GIE_BENCH_PROBE_TIMEOUT"] = "90"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    assert os.path.exists(os.path.join(repo, "bench_last_good.json"))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, r.stdout
+    out = json.loads(lines[0])
+    assert set(out) == {"metric", "value", "unit", "vs_baseline"}
+    assert out["metric"].startswith("[CACHED")
+    assert out["value"] > 0
