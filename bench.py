@@ -47,6 +47,20 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 LAST_GOOD = os.path.join(REPO, "bench_last_good.json")
 BASELINE_PER_CHIP = 0.25  # 2 img/s on 8 chips (BASELINE.json)
 
+# child phases write partial results here as rows complete, so a phase
+# timeout (e.g. a pathological Mosaic compile on the last variant) loses
+# only the unfinished row, not the phase (the supervisor reads whatever
+# the killed child managed to write)
+_PARTIAL_OUT: str | None = None
+
+
+def _write_partial(res: dict) -> None:
+    if _PARTIAL_OUT:
+        tmp = _PARTIAL_OUT + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(res, f)
+        os.replace(tmp, _PARTIAL_OUT)
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -337,7 +351,20 @@ def phase_scan() -> dict:
         _sync(jnp, lat)
         return (time.perf_counter() - t0) / reps
 
+    full_dual, full_single = (19, 38) if on_tpu else (2, 3)
+
+    def _fit(rows):
+        # least-squares fit t = a*nd + b*ns + c -> full-depth extrapolation
+        if len(rows) < 2:
+            return float("nan"), None
+        A = np.array([[nd, ns, 1.0] for nd, ns, _ in rows])
+        y = np.array([t for _, _, t in rows])
+        coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+        t_full = float(coef @ [full_dual, full_single, 1.0])
+        return b / t_full, coef
+
     rows = []
+    measured = {}  # label -> seconds / 28-step scan (TRUE full-depth model)
     for nd, ns in depths:
         try:
             cfg, params = build(nd, ns)
@@ -350,6 +377,8 @@ def phase_scan() -> dict:
             f"({t / steps * 1000:.1f} ms/step)")
         rows.append((nd, ns, t))
         del params
+        _write_partial({"rows": rows, "measured": measured,
+                        "fit_img_s": _fit(rows)[0]})
 
     # Ground-truth cross-check: the TRUE full-depth (19+38) model fits one
     # chip with int8 quantized weights (11.8GB). Two variants:
@@ -393,7 +422,6 @@ def phase_scan() -> dict:
         del params
         return t
 
-    measured = {}  # label -> seconds / 28-step scan (TRUE full-depth model)
     if on_tpu:
         # (a W8A8 + int8-QK^T attention row was measured 835.4 ms/step vs
         # plain W8A8's 827.5 on v5e — the extra q/k quantization pass costs
@@ -414,23 +442,18 @@ def phase_scan() -> dict:
                     f"{steps}-step scan ({t / steps * 1000:.1f} ms/step) "
                     f"=> {1.0 / t:.4f} img/s/chip MEASURED full model")
                 measured[label] = t
+                _write_partial({"rows": rows, "measured": measured,
+                                "fit_img_s": _fit(rows)[0]})
             except Exception as e:
                 log(f"{label} full-depth run failed ({type(e).__name__}): {str(e)[:200]}")
 
-    # least-squares fit t = a*nd + b*ns + c
-    full_dual, full_single = (19, 38) if on_tpu else (2, 3)
-    if len(rows) >= 2:
-        A = np.array([[nd, ns, 1.0] for nd, ns, _ in rows])
-        y = np.array([t for _, _, t in rows])
-        coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+    imgs_per_sec, coef = _fit(rows)
+    if coef is not None:
         t_full = float(coef @ [full_dual, full_single, 1.0])
-        imgs_per_sec = b / t_full
         log(f"fit: dual {coef[0]*1000:.1f} ms, single {coef[1]*1000:.1f} ms, "
             f"const {coef[2]*1000:.1f} ms -> full ({full_dual}+{full_single}) "
             f"scan {t_full:.2f}s => {imgs_per_sec:.4f} img/s/chip")
-    elif measured:  # depth rows lost but the full-depth runs succeeded
-        imgs_per_sec = float("nan")
-    else:
+    elif not measured:
         raise RuntimeError("no scan measurements completed")
 
     return {
@@ -599,10 +622,11 @@ def phase_train() -> dict:
     s_txt = 512 if on_tpu else 32
     s_tgt = (h // 2) * (w // 2)
 
-    def build(nd, ns):
+    def build(nd, ns, remat_policy="nothing"):
         cfg = dataclasses.replace(
             FluxConfig() if on_tpu else FluxConfig.tiny(),
             num_layers=nd, num_single_layers=ns, remat=True,
+            remat_policy=remat_policy,
         )
         abstract = jax.eval_shape(
             lambda k: init_flux(k, cfg, jnp.bfloat16), jax.random.key(0)
@@ -664,6 +688,8 @@ def phase_train() -> dict:
         log(f"fwd+bwd depth ({nd},{ns}): {dt * 1000:.1f} ms "
             f"({n_params / 1e9:.2f}B params)")
         del params, grads
+        _write_partial({"fwd_bwd_rows":
+                        [[d, s, round(t, 4)] for d, s, t, _ in fb_rows]})
 
     # --- full train step (grad + AdamW) at the largest depth that fits ---
     nd, ns = fb_depths[0]
@@ -695,6 +721,37 @@ def phase_train() -> dict:
     mfu3 = 3 * 2 * n_params * tokens * b / dt_step / 197e12
     log(f"train step depth ({nd},{ns}): {dt_step * 1000:.1f} ms, "
         f"MFU {mfu3:.3f} (3x standard) / {mfu4:.3f} (4x remat-credited)")
+
+    # remat_policy="dots" comparison: saves matmul outputs so the bwd
+    # recompute is elementwise-only (spends spare HBM on MFU)
+    dt_dots = None
+    if on_tpu:
+        try:
+            del params, opt
+            cfg_d, params_d = build(nd, ns, remat_policy="dots")
+            loss_d = make_loss(cfg_d)
+            opt_d = tx.init(params_d)
+
+            @jax.jit
+            def train_step_d(p, opt, lat):
+                loss, grads = jax.value_and_grad(loss_d)(p, lat)
+                updates, opt = tx.update(grads, opt, p)
+                return optax.apply_updates(p, updates), opt, loss
+
+            params_d, opt_d, loss = train_step_d(params_d, opt_d, latents)
+            float(loss)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                params_d, opt_d, loss = train_step_d(params_d, opt_d, latents)
+            float(loss)
+            dt_dots = (time.perf_counter() - t0) / reps
+            mfu3_d = 3 * 2 * n_params * tokens * b / dt_dots / 197e12
+            log(f"train step depth ({nd},{ns}) remat_policy=dots: "
+                f"{dt_dots * 1000:.1f} ms, MFU {mfu3_d:.3f} (3x)")
+            del params_d, opt_d
+        except Exception as e:
+            log(f"dots-policy train row failed ({type(e).__name__}): "
+                f"{str(e)[:200]}")
 
     # full-depth estimate: measured two-depth fwd+bwd fit + measured
     # optimizer-update cost scaled linearly in param count
@@ -731,6 +788,9 @@ def phase_train() -> dict:
         "train_depth": [nd, ns],
         "train_mfu_3x": round(mfu3, 3),
         "train_mfu_4x_remat": round(mfu4, 3),
+        "train_step_ms_dots_policy": (
+            round(dt_dots * 1000, 1) if dt_dots else None
+        ),
         "fwd_bwd_rows": [[d, s, round(t, 4)] for d, s, t, _ in fb_rows],
         "train_step_s_full_depth_est": round(t_full, 2),
         "params_bench": n_params,
@@ -749,6 +809,9 @@ def main():
     if args.phase is None:
         sys.exit(supervise())
 
+    if args.out:
+        global _PARTIAL_OUT
+        _PARTIAL_OUT = args.out
     res = {"scan": phase_scan, "e2e": phase_e2e, "train": phase_train}[args.phase]()
     if args.out:
         with open(args.out, "w") as f:

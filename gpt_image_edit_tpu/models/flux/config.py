@@ -30,6 +30,12 @@ class FluxConfig:
     # jax.remat on each block body (the reference's gradient_checkpointing,
     # ref:train_denoiser.py:484-486)
     remat: bool = False
+    # remat policy: "nothing" saves only block boundaries (minimum memory,
+    # full re-forward on bwd); "dots" saves matmul outputs (XLA's
+    # dots_saveable) so the bwd recompute is elementwise-only — more HBM,
+    # fewer re-forward FLOPs (the 4x-vs-3x accounting gap). Pick per mesh:
+    # fsdp-sharded multi-chip usually affords "dots".
+    remat_policy: str = "nothing"
     # attention dispatch: "auto" | "xla" | "pallas" | "ring" | "pallas_qk8"
     # | "pallas_int8". "ring" = context parallelism: sequence dim sharded
     # over the mesh 'sequence' axis, K/V rotated via ppermute (differentiable

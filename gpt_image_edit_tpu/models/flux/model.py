@@ -334,13 +334,15 @@ def apply(
     dual_fn = _dual_block
     single_fn = _single_block
     if cfg.remat:
+        policy = {
+            "nothing": jax.checkpoint_policies.nothing_saveable,
+            "dots": jax.checkpoint_policies.dots_saveable,
+        }[cfg.remat_policy]
         dual_fn = jax.checkpoint(
-            _dual_block, policy=jax.checkpoint_policies.nothing_saveable,
-            static_argnums=(6,),
+            _dual_block, policy=policy, static_argnums=(6,),
         )
         single_fn = jax.checkpoint(
-            _single_block, policy=jax.checkpoint_policies.nothing_saveable,
-            static_argnums=(5,),
+            _single_block, policy=policy, static_argnums=(5,),
         )
 
     def dual_body(carry, xs):

@@ -105,6 +105,10 @@ class ModelConfig:
     # "pallas" | "ring". "ring" = context parallelism — train with the joint
     # sequence sharded over the mesh 'sequence' axis (mesh_shape 4th entry)
     attention_impl: str = "auto"
+    # remat policy when gradient_checkpointing is on: "nothing" (minimum
+    # memory, full re-forward) | "dots" (save matmul outputs; bwd recompute
+    # is elementwise-only — spend spare HBM on MFU)
+    remat_policy: str = "nothing"
     # int8 weight-only quantization of the FROZEN subtree (VLM trunk etc.):
     # halves frozen-weight HBM so wider batches fit on 16GB chips; gradients
     # still flow through activations (dequant happens inside linear()).

@@ -41,7 +41,7 @@ def build_models(cfg: TrainDenoiseConfig):
         fcfg = dataclasses.replace(
             FluxConfig.tiny(), joint_attention_dim=qcfg.projector_out,
             remat=remat, rope_dtype=mc.rope_dtype,
-            attention_impl=mc.attention_impl,
+            attention_impl=mc.attention_impl, remat_policy=mc.remat_policy,
         )
         vcfg = VaeConfig.tiny()
         params = {
@@ -60,7 +60,7 @@ def build_models(cfg: TrainDenoiseConfig):
     qcfg = Qwen2p5VLConfig()
     fcfg = dataclasses.replace(
         FluxConfig(), remat=remat, rope_dtype=mc.rope_dtype,
-        attention_impl=mc.attention_impl,
+        attention_impl=mc.attention_impl, remat_policy=mc.remat_policy,
     )
     vcfg = VaeConfig()
     qwen, flux = load_merged_checkpoint(mc.pretrained_lvlm_name_or_path, qcfg, fcfg)

@@ -90,6 +90,7 @@ def main():
     cfg = dataclasses.replace(
         FluxConfig(), num_layers=nd, num_single_layers=ns,
         attention_impl=attn_impl, rope_dtype=rope_dtype,
+        scan_blocks="--unrolled" not in sys.argv,
     )
     abstract = jax.eval_shape(lambda k: init_flux(k, cfg, jnp.bfloat16), jax.random.key(0))
     flat, _ = jax.tree_util.tree_flatten_with_path(abstract)

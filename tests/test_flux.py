@@ -239,3 +239,45 @@ class TestUnrolledBlocks:
             layer_gate=gate, **kw
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+class TestRematPolicy:
+    """remat_policy changes memory/recompute scheduling only — gradients
+    must be identical across policies (and vs no remat)."""
+
+    def test_grad_parity_across_policies(self):
+        import dataclasses
+
+        cfg0, params, hidden, txt, pooled, img_ids, t, g = _setup()
+
+        def loss(p, cfg):
+            out = apply_flux(
+                p, cfg, hidden_states=hidden, encoder_hidden_states=txt,
+                pooled_projections=pooled, timestep=t, img_ids=img_ids,
+                guidance=g,
+            )
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        g_ref = jax.grad(loss)(params, cfg0)
+        for policy in ("nothing", "dots"):
+            cfg = dataclasses.replace(cfg0, remat=True, remat_policy=policy)
+            g_p = jax.grad(loss)(params, cfg)
+            err = jax.tree_util.tree_map(
+                lambda a, b: float(jnp.max(jnp.abs(a - b))), g_ref, g_p
+            )
+            worst = max(jax.tree_util.tree_leaves(err))
+            assert worst < 1e-5, (policy, worst)
+
+    def test_unknown_policy_raises(self):
+        import dataclasses
+
+        import pytest
+
+        cfg0, params, hidden, txt, pooled, img_ids, t, g = _setup(b=1, s_img=4)
+        cfg = dataclasses.replace(cfg0, remat=True, remat_policy="bogus")
+        with pytest.raises(KeyError):
+            apply_flux(
+                params, cfg, hidden_states=hidden, encoder_hidden_states=txt,
+                pooled_projections=pooled, timestep=t, img_ids=img_ids,
+                guidance=g,
+            )
