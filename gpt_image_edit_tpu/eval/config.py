@@ -23,6 +23,11 @@ class EvalConfig:
     # ref:univa/eval/imgedit/step1_gen_samples.py:261)
     rank: int = 0
     world_size: int = 1
+    # serving memory/speed options (16GB single-chip eval runs need the
+    # quantized modes; mirrors serve/cli flags)
+    quantize: Optional[str] = None     # int8 | w8a8 | w8a8-attn | w8a8-qk8
+    quantize_vlm: bool = False
+    vae_dtype: str = "bfloat16"
     # benchmark-specific paths
     data_json: Optional[str] = None    # sample list
     image_root: Optional[str] = None   # source image root

@@ -37,6 +37,9 @@ def generate_samples(
             cfg.pretrained_denoiser_name_or_path or None,
             tiny=cfg.tiny,
             seed=cfg.seed,
+            quantize=cfg.quantize,
+            quantize_vlm=cfg.quantize_vlm,
+            vae_dtype=cfg.vae_dtype,
         )
 
     shard = samples[cfg.rank :: cfg.world_size]

@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--steps", type=int, default=28)
     ap.add_argument("--guidance", type=float, default=3.5)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--quantize", default=None,
+                    choices=[None, "int8", "w8a8", "w8a8-attn", "w8a8-qk8"])
+    ap.add_argument("--quantize_vlm", action="store_true")
+    ap.add_argument("--vae_dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
     ap.add_argument("--rank", type=int, default=int(os.environ.get("RANK", 0)))
     ap.add_argument("--world_size", type=int, default=int(os.environ.get("WORLD_SIZE", 1)))
     args = ap.parse_args()
@@ -57,6 +62,9 @@ def main():
         num_inference_steps=args.steps,
         guidance_scale=args.guidance,
         seed=args.seed,
+        quantize=args.quantize,
+        quantize_vlm=args.quantize_vlm,
+        vae_dtype=args.vae_dtype,
         rank=args.rank,
         world_size=args.world_size,
     )

@@ -40,6 +40,28 @@ def test_run_eval_imgedit_tiny(tmp_path):
     assert (out_dir / "k1.png").exists()
 
 
+def test_run_eval_quantized_serving_flags(tmp_path):
+    """--quantize/--quantize_vlm/--vae_dtype reach the eval runtime (the
+    16GB single-chip eval runs need them); wiring-level regression."""
+    rng = np.random.default_rng(2)
+    src = tmp_path / "imgs" / "b.png"
+    os.makedirs(src.parent)
+    Image.fromarray(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)).save(src)
+    bench = {"k2": {"id": "b.png", "prompt": "add snow", "edit_type": "alter"}}
+    dj = tmp_path / "basic_edit.json"
+    dj.write_text(json.dumps(bench))
+    out_dir = tmp_path / "out"
+
+    p = _run([
+        "scripts/run_eval.py", "imgedit", "--tiny",
+        "--data_json", str(dj), "--image_root", str(tmp_path / "imgs"),
+        "--output_dir", str(out_dir), "--steps", "2",
+        "--quantize", "int8", "--quantize_vlm", "--vae_dtype", "float32",
+    ])
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert (out_dir / "k2.png").exists()
+
+
 def test_serve_cli_one_shot(tmp_path):
     rng = np.random.default_rng(1)
     src = tmp_path / "in.png"
