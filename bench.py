@@ -268,6 +268,105 @@ def _sync(jnp, x) -> float:
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
+def _int8_shape_params(jax, jnp, abstract, qkey="q", min_elems=1 << 22):
+    """Shape-only param tree with big kernels as int8 quantized subtrees
+    (building a bf16 tree first would OOM the chip at full depth)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(abstract)
+    leaves = []
+    for kp, s in flat:
+        path = "/".join(str(getattr(k, "key", k)) for k in kp)
+        if path.endswith("kernel") and len(s.shape) >= 2 and np.prod(s.shape) >= min_elems:
+            leaves.append({
+                qkey: jnp.ones(s.shape, jnp.int8),
+                "scale": jnp.full(s.shape[:-2] + (1, s.shape[-1]), 0.01, jnp.float32),
+            })
+        else:
+            leaves.append(jnp.full(s.shape, 0.01, s.dtype))
+    by_path = {
+        tuple(getattr(k, "key", getattr(k, "idx", k)) for k in kp): leaf
+        for (kp, _), leaf in zip(flat, leaves)
+    }
+
+    def _build_tree(node, prefix=()):
+        if isinstance(node, dict):
+            return {kk: _build_tree(vv, prefix + (kk,)) for kk, vv in node.items()}
+        if isinstance(node, list):
+            return [_build_tree(vv, prefix + (i,)) for i, vv in enumerate(node)]
+        return by_path[prefix]
+
+    return _build_tree(abstract)
+
+
+def _train_full_mlp2(jax, jnp, optax, h, s_txt, reps=3):
+    """TRUE full-depth (19,38) measured train step for the only_tune_mlp2
+    stage: int8-frozen FLUX (weight-only, bf16 compute — the
+    model_config.quantize_frozen semantics), remat, grads through all 57
+    blocks into a trainable MLP2 projector (3584 -> 12288 -> 4096 SiLU,
+    ref:univa/models/qwen2p5vl MLP2). Returns seconds/step."""
+    from gpt_image_edit_tpu.models.flux import FluxConfig, apply_flux, init_flux
+    from gpt_image_edit_tpu.ops.packing import latent_image_ids
+
+    b = 1
+    s_tgt = (h // 2) * (h // 2)
+    cfg = dataclasses.replace(
+        FluxConfig(), num_layers=19, num_single_layers=38,
+        remat=True, rope_dtype="bfloat16",
+    )
+    abstract = jax.eval_shape(
+        lambda k: init_flux(k, cfg, jnp.bfloat16), jax.random.key(0)
+    )
+    frozen = _int8_shape_params(jax, jnp, abstract, qkey="q")
+
+    # trainable MLP2 (bf16 master-in-bench; the real trainer keeps fp32)
+    mlp2 = {
+        "in": {"kernel": jnp.full((3584, 12288), 0.01, jnp.bfloat16),
+               "bias": jnp.zeros((12288,), jnp.bfloat16)},
+        "out": {"kernel": jnp.full((12288, cfg.joint_attention_dim), 0.01,
+                                   jnp.bfloat16),
+                "bias": jnp.zeros((cfg.joint_attention_dim,), jnp.bfloat16)},
+    }
+    hidden = jnp.full((b, s_txt, 3584), 0.01, jnp.bfloat16)
+    pooled = jnp.zeros((b, cfg.pooled_projection_dim), jnp.bfloat16)
+    target = jnp.zeros((b, 2 * s_tgt, cfg.out_channels), jnp.float32)
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(
+        rng.standard_normal((b, 2 * s_tgt, cfg.in_channels)), jnp.bfloat16
+    )
+    ids = jnp.concatenate(
+        [latent_image_ids(h // 2, h // 2, 0), latent_image_ids(h // 2, h // 2, 1)],
+        axis=0,
+    )
+
+    def loss_fn(m, lat):
+        e = jnp.dot(hidden, m["in"]["kernel"]) + m["in"]["bias"]
+        e = jax.nn.silu(e)
+        embeds = jnp.dot(e, m["out"]["kernel"]) + m["out"]["bias"]
+        pred = apply_flux(
+            frozen, cfg, hidden_states=lat, encoder_hidden_states=embeds,
+            pooled_projections=pooled,
+            timestep=jnp.full((b,), 0.5, jnp.float32),
+            img_ids=ids, guidance=jnp.full((b,), 3.5, jnp.float32),
+        )
+        return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+
+    tx = optax.adamw(1e-6)
+    opt = tx.init(mlp2)
+
+    @jax.jit
+    def step(m, opt, lat):
+        loss, grads = jax.value_and_grad(loss_fn)(m, lat)
+        updates, opt = tx.update(grads, opt, m)
+        return optax.apply_updates(m, updates), opt, loss
+
+    mlp2, opt, loss = step(mlp2, opt, latents)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        mlp2, opt, loss = step(mlp2, opt, latents)
+    float(loss)
+    return (time.perf_counter() - t0) / reps
+
+
 # --------------------------------------------------------------------------
 # phase: scan (headline)
 # --------------------------------------------------------------------------
@@ -385,39 +484,17 @@ def phase_scan() -> dict:
     #   weight-only (bf16 compute) — validates the bf16 extrapolation;
     #   W8A8 (int8 MXU matmuls)   — the fast serving mode (~22% faster).
     # Constructed shape-only (a bf16 tree first would OOM the chip).
-    def _full_depth_int8(qkey, attn_impl="auto", scan_blocks=True):
+    def _full_depth_int8(qkey, attn_impl="auto", scan_blocks=True,
+                         scan_unroll=1):
         cfg = dataclasses.replace(
             FluxConfig(), num_layers=19, num_single_layers=38,
             rope_dtype="bfloat16", attention_impl=attn_impl,
-            scan_blocks=scan_blocks,
+            scan_blocks=scan_blocks, scan_unroll=scan_unroll,
         )
         abstract = jax.eval_shape(
             lambda key: init_flux(key, cfg, jnp.bfloat16), jax.random.key(0)
         )
-        flat, _ = jax.tree_util.tree_flatten_with_path(abstract)
-        leaves = []
-        for kp, s in flat:
-            path = "/".join(str(getattr(k, "key", k)) for k in kp)
-            if path.endswith("kernel") and len(s.shape) >= 2 and np.prod(s.shape) >= 1 << 22:
-                leaves.append({
-                    qkey: jnp.ones(s.shape, jnp.int8),
-                    "scale": jnp.full(s.shape[:-2] + (1, s.shape[-1]), 0.01, jnp.float32),
-                })
-            else:
-                leaves.append(jnp.full(s.shape, 0.01, s.dtype))
-        by_path = {
-            tuple(getattr(k, "key", getattr(k, "idx", k)) for k in kp): leaf
-            for (kp, _), leaf in zip(flat, leaves)
-        }
-
-        def _build_tree(node, prefix=()):
-            if isinstance(node, dict):
-                return {kk: _build_tree(vv, prefix + (kk,)) for kk, vv in node.items()}
-            if isinstance(node, list):
-                return [_build_tree(vv, prefix + (i,)) for i, vv in enumerate(node)]
-            return by_path[prefix]
-
-        params = _build_tree(abstract)
+        params = _int8_shape_params(jax, jnp, abstract, qkey=qkey)
         t = run_once(cfg, params)
         del params
         return t
@@ -428,16 +505,23 @@ def phase_scan() -> dict:
         # more than the int8 QK dot saves; `--quantize w8a8-qk8` stays
         # opt-in for hardware with a wider int8:bf16 MXU ratio)
         variants = [
-            ("q", "int8 weight-only", "auto", True),
-            ("q_w8a8", "W8A8", "auto", True),
+            ("q", "int8 weight-only", "auto", True, 1),
+            ("q_w8a8", "W8A8", "auto", True, 1),
         ]
         if os.environ.get("GIE_BENCH_UNROLLED"):
             # unrolled-blocks experiment (first compile is expensive; opt-in
             # until it has beaten the scan path on a real chip)
-            variants.append(("q_w8a8", "W8A8 unrolled", "auto", False))
-        for qkey, label, attn, scan_b in variants:
+            variants.append(("q_w8a8", "W8A8 unrolled", "auto", False, 1))
+        u = int(os.environ.get("GIE_BENCH_UNROLL", "0"))
+        if u > 1:
+            # partial scan unroll: k block bodies per scan iteration so XLA
+            # can overlap the next layer's param slice/dequant with compute
+            # (the `copy` bucket was 40-48% of the W8A8 step profile)
+            variants.append(("q_w8a8", f"W8A8 scan-u{u}", "auto", True, u))
+        for qkey, label, attn, scan_b, scan_u in variants:
             try:
-                t = _full_depth_int8(qkey, attn, scan_blocks=scan_b)
+                t = _full_depth_int8(qkey, attn, scan_blocks=scan_b,
+                                     scan_unroll=scan_u)
                 log(f"{label} full depth (19 dual, 38 single): {t:.3f}s / "
                     f"{steps}-step scan ({t / steps * 1000:.1f} ms/step) "
                     f"=> {1.0 / t:.4f} img/s/chip MEASURED full model")
@@ -783,6 +867,26 @@ def phase_train() -> dict:
         "16GB HBM (24GB params alone); multi-chip training is validated by "
         "dryrun_multichip and tests/test_trainer_integration.py")
 
+    # --- TRUE full-depth measured train row: the only_tune_mlp2 stage ---
+    # (a real reference training mode, ref:univa/train/train_denoiser.py
+    # get_trainable_params only_tune_mlp2). FLUX frozen int8 weight-only
+    # (11.8GB, the repo's model_config.quantize_frozen semantics) + remat;
+    # grads flow through the FULL 57-block stack into the MLP2 projector.
+    # This measures real full-depth fwd+bwd wall time on one chip — the
+    # number the two-depth fit above extrapolates.
+    t_full_mlp2 = None
+    if on_tpu:
+        for hh in (128, 64):  # 1024^2, fall back to 512^2 if activations OOM
+            try:
+                t_full_mlp2 = _train_full_mlp2(jax, jnp, optax, hh, s_txt)
+                log(f"train_full: only_tune_mlp2 (19,38) int8-frozen FLUX at "
+                    f"{hh * 8}^2: {t_full_mlp2 * 1000:.1f} ms/step MEASURED "
+                    f"full depth")
+                break
+            except Exception as e:
+                log(f"train_full at {hh * 8}^2 failed ({type(e).__name__}): "
+                    f"{str(e)[:200]}")
+
     return {
         "train_step_ms_depth": round(dt_step * 1000, 1),
         "train_depth": [nd, ns],
@@ -793,6 +897,9 @@ def phase_train() -> dict:
         ),
         "fwd_bwd_rows": [[d, s, round(t, 4)] for d, s, t, _ in fb_rows],
         "train_step_s_full_depth_est": round(t_full, 2),
+        "train_full_mlp2_ms_measured": (
+            round(t_full_mlp2 * 1000, 1) if t_full_mlp2 else None
+        ),
         "params_bench": n_params,
     }
 

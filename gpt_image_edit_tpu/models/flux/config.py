@@ -54,6 +54,12 @@ class FluxConfig:
     # stay in the stacked layout either way. Training keeps scan (per-layer
     # gating, smaller graphs).
     scan_blocks: bool = True
+    # lax.scan unroll factor for the block scans (scan_blocks=True only).
+    # >1 replicates k block bodies per scan iteration, letting XLA overlap
+    # layer i+1's stacked-param dynamic-slice/dequant with layer i's compute
+    # — the middle ground between scan (u1) and full unrolling on the
+    # copy-dominated W8A8 profile, at ~k x body compile cost.
+    scan_unroll: int = 1
 
     @property
     def inner_dim(self) -> int:

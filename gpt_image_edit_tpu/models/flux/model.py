@@ -360,6 +360,7 @@ def apply(
             functools.partial(dual_body),
             (img, txt),
             (params["dual_blocks"], dual_gate),
+            unroll=cfg.scan_unroll,
         )
     else:
         # unrolled: per-layer STATIC slices of the stacked params (no
@@ -380,7 +381,12 @@ def apply(
 
     single_gate = None if layer_gate is None else layer_gate[1]
     if cfg.scan_blocks:
-        x, _ = jax.lax.scan(single_body, x, (params["single_blocks"], single_gate))
+        x, _ = jax.lax.scan(
+            single_body,
+            x,
+            (params["single_blocks"], single_gate),
+            unroll=cfg.scan_unroll,
+        )
     else:
         for i in range(cfg.num_single_layers):
             p_i = jax.tree_util.tree_map(lambda y: y[i], params["single_blocks"])

@@ -46,6 +46,9 @@ def build_parser():
                         "attention")
     p.add_argument("--unroll_blocks", action="store_true",
                    help="unrolled FLUX block loops (no scan dynamic slices)")
+    p.add_argument("--scan_unroll", type=int, default=1,
+                   help="partial block-scan unroll factor (k bodies per scan "
+                        "iteration; overlaps param slicing with compute)")
     p.add_argument("--no_joint_with_t5", action="store_true",
                    help="skip the T5 suffix concat (ref cli no_joint_with_t5)")
     p.add_argument("--vae_dtype", type=str, default="bfloat16",
@@ -64,7 +67,8 @@ def main(argv=None):
     rt = UnivaRuntime(
         args.model_path, args.flux_path, tiny=args.tiny, seed=args.seed,
         quantize=args.quantize, joint_with_t5=not args.no_joint_with_t5,
-        unroll_blocks=args.unroll_blocks, vae_dtype=args.vae_dtype,
+        unroll_blocks=args.unroll_blocks, scan_unroll=args.scan_unroll,
+        vae_dtype=args.vae_dtype,
         quantize_vlm=args.quantize_vlm,
     )
     image = Image.open(args.image) if args.image else None

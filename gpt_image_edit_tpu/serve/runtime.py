@@ -55,6 +55,8 @@ class UnivaRuntime:
         seed: int = 0,
         quantize: Optional[str] = None,  # "int8" weight-only | "w8a8" int8-MXU
         joint_with_t5: bool = True,      # concat T5 after LVLM embeds (ref default)
+        scan_unroll: int = 1,            # FluxConfig.scan_unroll: partial block-
+        # scan unroll (k bodies/iter; overlaps param slicing with compute)
         unroll_blocks: bool = False,     # FluxConfig.scan_blocks=False: unrolled
         # per-layer static slices instead of the block scan (serving perf
         # experiment; numerics identical up to quant-step noise, tested)
@@ -147,6 +149,8 @@ class UnivaRuntime:
             )
         if unroll_blocks:
             self.fcfg = dataclasses.replace(self.fcfg, scan_blocks=False)
+        elif scan_unroll > 1:
+            self.fcfg = dataclasses.replace(self.fcfg, scan_unroll=scan_unroll)
 
         # generate-vs-understand routing head (ref:cli.py:42-49), if shipped
         self.task_head = None

@@ -87,10 +87,14 @@ def main():
 
     attn_impl = {"w8a8a": "pallas_int8", "w8a8q": "pallas_qk8"}.get(mode, "auto")
     rope_dtype = "bfloat16" if "--bf16rope" in sys.argv else "float32"
+    scan_unroll = 1
+    if "--scan-unroll" in sys.argv:
+        scan_unroll = int(sys.argv[sys.argv.index("--scan-unroll") + 1])
     cfg = dataclasses.replace(
         FluxConfig(), num_layers=nd, num_single_layers=ns,
         attention_impl=attn_impl, rope_dtype=rope_dtype,
         scan_blocks="--unrolled" not in sys.argv,
+        scan_unroll=scan_unroll,
     )
     abstract = jax.eval_shape(lambda k: init_flux(k, cfg, jnp.bfloat16), jax.random.key(0))
     flat, _ = jax.tree_util.tree_flatten_with_path(abstract)

@@ -221,6 +221,27 @@ class TestUnrolledBlocks:
         )
         assert rel < 0.02, rel
 
+    def test_partial_scan_unroll_matches(self):
+        """cfg.scan_unroll=k (k bodies per lax.scan iteration, incl. a factor
+        that does NOT divide the layer counts) is a scheduling knob only —
+        outputs must match the plain scan exactly."""
+        import dataclasses
+
+        from gpt_image_edit_tpu.models.flux import FluxConfig, apply_flux, init_flux
+
+        cfg = FluxConfig.tiny()  # 2 dual + 3 single layers
+        params = init_flux(jax.random.key(0), cfg)
+        kw = self._kwargs(cfg)
+        ref = apply_flux(params, cfg, **kw)
+        for u in (2, 3):
+            out = apply_flux(
+                params, dataclasses.replace(cfg, scan_unroll=u), **kw
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=1e-6,
+                err_msg=f"scan_unroll={u}",
+            )
+
     def test_layer_gate_unrolled(self):
         import dataclasses
 
