@@ -391,6 +391,8 @@ def phase_scan() -> dict:
         s_txt = 512
         depths = [(2, 4), (4, 8), (6, 12)]
         reps = 3
+        if os.environ.get("GIE_BENCH_ONLY_FULL"):
+            depths = []      # focused run: full-depth measured variants only
     else:  # CPU smoke fallback (driver normally runs on TPU)
         h = w = 16
         s_txt = 32
@@ -508,6 +510,24 @@ def phase_scan() -> dict:
             ("q", "int8 weight-only", "auto", True, 1),
             ("q_w8a8", "W8A8", "auto", True, 1),
         ]
+        if os.environ.get("GIE_BENCH_VARIANTS"):
+            # focused run: explicit variant list, e.g.
+            # GIE_BENCH_VARIANTS=w8a8,w8a8_u2,w8a8_u4 (with GIE_BENCH_ONLY_FULL=1
+            # this measures just the named full-depth modes)
+            variants = []
+            for tok in os.environ["GIE_BENCH_VARIANTS"].split(","):
+                tok = tok.strip()
+                if tok == "int8":
+                    variants.append(("q", "int8 weight-only", "auto", True, 1))
+                elif tok == "w8a8":
+                    variants.append(("q_w8a8", "W8A8", "auto", True, 1))
+                elif tok == "w8a8_unrolled":
+                    variants.append(("q_w8a8", "W8A8 unrolled", "auto", False, 1))
+                elif tok.startswith("w8a8_u"):
+                    k = int(tok[len("w8a8_u"):])
+                    variants.append(("q_w8a8", f"W8A8 scan-u{k}", "auto", True, k))
+                else:
+                    log(f"unknown GIE_BENCH_VARIANTS token {tok!r} (skipped)")
         if os.environ.get("GIE_BENCH_UNROLLED"):
             # unrolled-blocks experiment (first compile is expensive; opt-in
             # until it has beaten the scan path on a real chip)
@@ -630,6 +650,31 @@ def phase_e2e() -> dict:
         f"{n_img_tokens} image tokens")
     del params
 
+    # W8A8 VLM comparison row: the prefill is one big matmul-bound forward,
+    # the same shape class the FLUX W8A8 mode sped up ~25% — measure whether
+    # --quantize_vlm w8a8 pays on the e2e path too
+    t_vlm_w8a8 = None
+    if on_tpu:
+        try:
+            params = quantize_params(
+                _shape_params(jax, jnp, abstract), mode="w8a8",
+                min_size=1 << 20,
+            )
+            out = vlm_fwd(params, pixels, x_emb)
+            _sync(jnp, out)
+            o = chain(params, pixels, x_emb, out)
+            _sync(jnp, o)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                o = chain(params, pixels, x_emb, o)
+            _sync(jnp, o)
+            t_vlm_w8a8 = (time.perf_counter() - t0) / reps
+            log(f"VLM denoise_embeds fwd W8A8: {t_vlm_w8a8 * 1000:.1f} ms "
+                f"({(t_vlm / t_vlm_w8a8 - 1) * 100:+.1f}% vs weight-only)")
+            del params
+        except Exception as e:
+            log(f"W8A8 VLM row failed ({type(e).__name__}): {str(e)[:200]}")
+
     vcfg = VaeConfig() if on_tpu else VaeConfig.tiny()
     vabs = jax.eval_shape(lambda k: init_vae(k, vcfg), jax.random.key(0))
     hw = 1024 if on_tpu else 32
@@ -669,11 +714,13 @@ def phase_e2e() -> dict:
         except Exception as e:
             log(f"fp32 VAE comparison row failed ({type(e).__name__})")
 
-    t_other = t_vlm + t_enc + t_dec
+    t_vlm_best = min(t_vlm, t_vlm_w8a8) if t_vlm_w8a8 else t_vlm
+    t_other = t_vlm_best + t_enc + t_dec
     log(f"non-scan serving components total: {t_other:.3f}s "
-        f"(VLM {t_vlm:.3f} + VAE enc {t_enc:.3f} + VAE dec {t_dec:.3f})")
+        f"(VLM {t_vlm_best:.3f} + VAE enc {t_enc:.3f} + VAE dec {t_dec:.3f})")
     return {
         "t_vlm_s": t_vlm,
+        "t_vlm_w8a8_s": t_vlm_w8a8,
         "t_vae_enc_s": t_enc,
         "t_vae_dec_s": t_dec,
         "t_other_s": t_other,

@@ -26,7 +26,7 @@ class EvalConfig:
     # serving memory/speed options (16GB single-chip eval runs need the
     # quantized modes; mirrors serve/cli flags)
     quantize: Optional[str] = None     # int8 | w8a8 | w8a8-attn | w8a8-qk8
-    quantize_vlm: bool = False
+    quantize_vlm: "bool | str" = False  # True/"int8" weight-only | "w8a8"
     vae_dtype: str = "bfloat16"
     # benchmark-specific paths
     data_json: Optional[str] = None    # sample list

@@ -54,8 +54,11 @@ def build_parser():
     p.add_argument("--vae_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"],
                    help="VAE compute dtype (reference serves bf16)")
-    p.add_argument("--quantize_vlm", action="store_true",
-                   help="int8 weight-only VLM trunk (single-chip serving)")
+    p.add_argument("--quantize_vlm", nargs="?", const="int8", default=None,
+                   choices=["int8", "w8a8"],
+                   help="int8 VLM trunk (single-chip serving): bare flag or "
+                        "'int8' = weight-only, 'w8a8' = int8 MXU matmuls "
+                        "(faster prefill)")
     return p
 
 

@@ -63,7 +63,7 @@ class UnivaRuntime:
         vae_dtype: str = "bfloat16",     # reference serves the VAE in bf16
         # (ref:univa/serve/cli.py:39,67); fp32 stats in group_norm keep the
         # bf16 path numerically benign (tested). "float32" opts out.
-        quantize_vlm: bool = False,      # int8 weight-only VLM trunk (single-
+        quantize_vlm: "bool | str" = False,  # int8 VLM trunk (single-
         # 16GB-chip serving: 7GB trunk + 12GB quantized FLUX via host swap)
     ):
         self.prompter = Qwen2VLPrompter()
@@ -135,17 +135,25 @@ class UnivaRuntime:
             )
 
         if quantize_vlm:
-            # int8 weight-only on the frozen VLM trunk: 7B bf16 (14GB) does
-            # not co-reside with the quantized 12B FLUX on one 16GB chip;
+            # int8 on the frozen VLM trunk: 7B bf16 (14GB) does not
+            # co-reside with the quantized 12B FLUX on one 16GB chip;
             # int8 (7GB) is what makes single-chip full serving feasible.
-            # Weight-only keeps bf16 activations/compute — the trunk is a
-            # frozen feature extractor here, so the error budget matches the
-            # FLUX weight-only mode's (<0.1% per-forward, test_quantize).
+            # quantize_vlm=True|"int8" -> weight-only (bf16 activations; the
+            # trunk is a frozen feature extractor, error budget matches the
+            # FLUX weight-only mode's <0.1%/forward, test_quantize).
+            # quantize_vlm="w8a8" -> int8 MXU matmuls for the prefill-bound
+            # e2e path (same dynamic per-row activation quant as FLUX W8A8).
             from gpt_image_edit_tpu.utils.quantize import quantize_params
 
-            log.info("quantizing VLM weights to int8 (weight_only)")
+            vlm_mode = "w8a8" if quantize_vlm == "w8a8" else "weight_only"
+            if quantize_vlm not in (True, "int8", "w8a8"):
+                raise ValueError(
+                    f"quantize_vlm must be True | 'int8' | 'w8a8', "
+                    f"got {quantize_vlm!r}"
+                )
+            log.info("quantizing VLM weights to int8 (%s)", vlm_mode)
             self.qwen_params = quantize_params(
-                self.qwen_params, mode="weight_only", min_size=1 << 20
+                self.qwen_params, mode=vlm_mode, min_size=1 << 20
             )
         if unroll_blocks:
             self.fcfg = dataclasses.replace(self.fcfg, scan_blocks=False)

@@ -43,7 +43,8 @@ def main():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--quantize", default=None,
                     choices=[None, "int8", "w8a8", "w8a8-attn", "w8a8-qk8"])
-    ap.add_argument("--quantize_vlm", action="store_true")
+    ap.add_argument("--quantize_vlm", nargs="?", const="int8", default=None,
+                    choices=["int8", "w8a8"])
     ap.add_argument("--vae_dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--rank", type=int, default=int(os.environ.get("RANK", 0)))

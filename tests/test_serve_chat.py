@@ -224,3 +224,28 @@ class TestQuantizedVlm:
         assert img is not None
         ans = rt.answer("describe the image", _img(5), max_new_tokens=3)
         assert isinstance(ans, str)
+
+    def test_w8a8_vlm_mode(self):
+        """quantize_vlm='w8a8' routes the trunk matmuls through the int8-MXU
+        path (q_w8a8 kernels + dynamic activation quant) and still completes
+        a full chat turn."""
+        rt = UnivaRuntime(tiny=True, quantize_vlm="w8a8")
+
+        def has_w8a8(node):
+            if isinstance(node, dict):
+                return "q_w8a8" in node or any(has_w8a8(v) for v in node.values())
+            if isinstance(node, list):
+                return any(has_w8a8(v) for v in node)
+            return False
+
+        assert has_w8a8(rt.qwen_params)
+        img, txt = rt.chat_turn(
+            "make it night", [_img(5)], force_generate=True, steps=2, seed=0
+        )
+        assert img is not None
+
+    def test_rejects_unknown_vlm_mode(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            UnivaRuntime(tiny=True, quantize_vlm="nf4")
