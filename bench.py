@@ -153,7 +153,7 @@ def _assemble(scan: dict, e2e: dict | None, train: dict | None) -> dict:
         extra = ""
         if e2e and "t_other_s" in e2e:
             t_e2e = t_best + e2e["t_other_s"]
-            extra = (f"; end-to-end edit incl. VLM+MLP2+VAE {t_e2e:.2f}s "
+            extra = (f"; end-to-end edit incl. VLM+MLP2+T5+VAE {t_e2e:.2f}s "
                      f"= {1.0 / t_e2e:.4f} img/s")
             log(f"e2e: scan {t_best:.2f}s + other {e2e['t_other_s']:.2f}s "
                 f"= {t_e2e:.2f}s/edit ({1.0 / t_e2e:.4f} img/s/chip)")
@@ -675,6 +675,41 @@ def phase_e2e() -> dict:
         except Exception as e:
             log(f"W8A8 VLM row failed ({type(e).__name__}): {str(e)[:200]}")
 
+    # T5-XXL encoder forward (the reference's default serving path concats
+    # T5 embeds after the VLM ones, ref:univa/serve/cli.py joint_with_t5;
+    # 4.7B encoder, int8 weight-only, prompt bucket 512)
+    t_t5 = None
+    try:
+        from gpt_image_edit_tpu.models import t5 as t5_model
+
+        tcfg = t5_model.T5Config() if on_tpu else t5_model.T5Config.tiny()
+        tabs = jax.eval_shape(
+            lambda k: t5_model.init(k, tcfg), jax.random.key(0)
+        )
+        tparams = _shape_params(jax, jnp, tabs)
+        if on_tpu:
+            tparams = quantize_params(
+                tparams, mode="weight_only", min_size=1 << 20
+            )
+        t5_seq = 512 if on_tpu else 32
+        ids = jnp.zeros((b, t5_seq), jnp.int32)
+
+        t5_fwd = jax.jit(lambda p, i: t5_model.apply(p, tcfg, i))
+        o = t5_fwd(tparams, ids)
+        _sync(jnp, o)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            ids = (ids + jnp.mean(o.astype(jnp.float32)).astype(jnp.int32)
+                   * 0)  # data-depend reps (axon: block_until_ready no-op)
+            o = t5_fwd(tparams, ids)
+        _sync(jnp, o)
+        t_t5 = (time.perf_counter() - t0) / reps
+        log(f"T5-XXL encode (seq {t5_seq}, "
+            f"{'int8' if on_tpu else 'tiny'}): {t_t5 * 1000:.1f} ms")
+        del tparams
+    except Exception as e:
+        log(f"T5 row failed ({type(e).__name__}): {str(e)[:200]}")
+
     vcfg = VaeConfig() if on_tpu else VaeConfig.tiny()
     vabs = jax.eval_shape(lambda k: init_vae(k, vcfg), jax.random.key(0))
     hw = 1024 if on_tpu else 32
@@ -715,12 +750,14 @@ def phase_e2e() -> dict:
             log(f"fp32 VAE comparison row failed ({type(e).__name__})")
 
     t_vlm_best = min(t_vlm, t_vlm_w8a8) if t_vlm_w8a8 else t_vlm
-    t_other = t_vlm_best + t_enc + t_dec
+    t_other = t_vlm_best + (t_t5 or 0.0) + t_enc + t_dec
     log(f"non-scan serving components total: {t_other:.3f}s "
-        f"(VLM {t_vlm_best:.3f} + VAE enc {t_enc:.3f} + VAE dec {t_dec:.3f})")
+        f"(VLM {t_vlm_best:.3f} + T5 {t_t5 or 0:.3f} + VAE enc {t_enc:.3f} "
+        f"+ VAE dec {t_dec:.3f})")
     return {
         "t_vlm_s": t_vlm,
         "t_vlm_w8a8_s": t_vlm_w8a8,
+        "t_t5_s": t_t5,
         "t_vae_enc_s": t_enc,
         "t_vae_dec_s": t_dec,
         "t_other_s": t_other,
