@@ -132,6 +132,10 @@ def main():
                     choices=[None, "int8", "w8a8", "w8a8-attn", "w8a8-qk8"],
                     help="int8 weight-only / W8A8 int8-MXU serving "
                          "(the reference's NF4 option, ref:app.py:129-176)")
+    ap.add_argument("--offload", action="store_true",
+                    help="sequential component offload (ref:app.py:37): "
+                         "params park in pinned_host, stage into HBM per "
+                         "pipeline stage")
     ap.add_argument("--no_joint_with_t5", action="store_true")
     ap.add_argument("--watermark", default=None,
                     help="optional text watermark on generated images")
@@ -150,6 +154,7 @@ def main():
     rt = UnivaRuntime(
         args.model_path, args.flux_path, tiny=args.tiny,
         quantize=args.quantize, joint_with_t5=not args.no_joint_with_t5,
+        offload=args.offload,
     )
     build_demo(rt, watermark=args.watermark).launch(server_port=args.port)
 

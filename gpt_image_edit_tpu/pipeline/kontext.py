@@ -169,19 +169,33 @@ class KontextPipeline:
         vae_params,
         vae_cfg: VaeConfig,
         mesh=None,
+        offload: bool = False,
+        vae_slicing: bool = False,
     ):
         """`mesh`: optional jax.sharding.Mesh — shards the denoiser/VAE params
         over (fsdp, tensor) for multi-chip serving; XLA inserts the ICI
-        collectives (tensor-parallel inference)."""
+        collectives (tensor-parallel inference).
+
+        `offload`: the reference's `--offload` sequential CPU offload
+        (ref:app.py:37,177-178 enable_model_cpu_offload), done the TPU way:
+        component params are parked in `pinned_host` memory and staged into
+        HBM only for the pipeline stage that uses them (VAE encode -> FLUX
+        scan -> VAE decode), so the idle components hold zero device memory.
+        Trades host<->HBM transfer time per edit for peak-HBM, exactly like
+        the reference trades PCIe traffic.
+
+        `vae_slicing`: the reference's enable_vae_slicing (ref:app.py:179):
+        batched sampling decodes ONE latent at a time so VAE activation
+        memory stays flat in num_images_per_prompt."""
+        if offload and mesh is not None:
+            raise ValueError("offload and mesh sharding are mutually exclusive")
         if mesh is not None:
             from gpt_image_edit_tpu.parallel import shard_params
 
             flux_params = shard_params(flux_params, mesh)
             vae_params = shard_params(vae_params, mesh)
         self.mesh = mesh
-        self.flux_params = flux_params
         self.flux_cfg = flux_cfg
-        self.vae_params = vae_params
         self.vae_cfg = vae_cfg
         # VAE compute dtype follows the params (the reference serves the
         # whole pipeline incl. VAE in bf16, ref:univa/serve/cli.py:39,67);
@@ -190,20 +204,49 @@ class KontextPipeline:
         vae_dtype = jnp.result_type(
             *(jax.tree_util.tree_leaves(vae_params)[:1] or [jnp.float32])
         )
+        self.offload = offload
+        self.vae_slicing = vae_slicing
+        if offload:
+            dev = jax.devices()[0]
+            host_s = jax.sharding.SingleDeviceSharding(
+                dev, memory_kind="pinned_host"
+            )
+            self._dev_sharding = jax.sharding.SingleDeviceSharding(dev)
+            self.flux_params = jax.device_put(flux_params, host_s)
+            self.vae_params = jax.device_put(vae_params, host_s)
+        else:
+            self.flux_params = flux_params
+            self.vae_params = vae_params
+        self._staged = {}  # component -> device-resident copy (offload mode)
         self._encode = jax.jit(
-            lambda x: encode_to_scaled_latents(
-                vae_params, vae_cfg, x.astype(vae_dtype)
+            lambda p, x: encode_to_scaled_latents(
+                p, vae_cfg, x.astype(vae_dtype)
             )
         )
         self._decode = jax.jit(
-            lambda z: decode_from_scaled_latents(
-                vae_params, vae_cfg, z.astype(vae_dtype)
+            lambda p, z: decode_from_scaled_latents(
+                p, vae_cfg, z.astype(vae_dtype)
             )
         )
 
+    def _component(self, name: str):
+        """Device-resident params for `name` ('flux' | 'vae'): in offload
+        mode, stage the pinned_host master into HBM on first use."""
+        tree = self.flux_params if name == "flux" else self.vae_params
+        if not self.offload:
+            return tree
+        if name not in self._staged:
+            self._staged[name] = jax.device_put(tree, self._dev_sharding)
+        return self._staged[name]
+
+    def _evict(self, name: str):
+        """Drop the HBM copy of `name` (host master stays). In-flight
+        computations keep their buffers alive; this only releases our ref."""
+        self._staged.pop(name, None)
+
     def encode_reference(self, image: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """image: (B, H, W, 3) in [-1, 1] -> (packed ref latents, ref ids)."""
-        lat = self._encode(image)
+        lat = self._encode(self._component("vae"), image)
         b, h, w, c = lat.shape
         packed = pack_latents(lat)
         ids = latent_image_ids(h // 2, w // 2, modality=1)
@@ -216,7 +259,7 @@ class KontextPipeline:
         gets rope modality id k+1."""
         packed_list, ids_list = [], []
         for k, img in enumerate(images):
-            lat = self._encode(img)
+            lat = self._encode(self._component("vae"), img)
             _, h, w, _ = lat.shape
             packed_list.append(pack_latents(lat))
             ids_list.append(latent_image_ids(h // 2, w // 2, modality=k + 1))
@@ -292,8 +335,10 @@ class KontextPipeline:
         sigmas = jnp.asarray(flow_sigmas(num_inference_steps, latents.shape[1]))
         guidance = jnp.full((b,), guidance_scale, dtype=jnp.float32)
 
+        if self.offload:
+            self._evict("vae")  # scan is the HBM-peak stage
         final = denoise_scan(
-            self.flux_params,
+            self._component("flux"),
             self.flux_cfg,
             latents=latents,
             image_latents=image_latents,
@@ -310,10 +355,22 @@ class KontextPipeline:
             neg_txt_pad_mask=neg_txt_pad_mask,
             step_callback=step_callback,
         )
+        if self.offload:
+            self._evict("flux")
         if output_type == "latent":
             return final
         z = unpack_latents(final, lat_h, lat_w).astype(jnp.float32)
-        return self._decode(z)
+        vp = self._component("vae")
+        if self.vae_slicing and z.shape[0] > 1:
+            out = jnp.concatenate(
+                [self._decode(vp, z[i : i + 1]) for i in range(z.shape[0])],
+                axis=0,
+            )
+        else:
+            out = self._decode(vp, z)
+        if self.offload:
+            self._evict("vae")  # idle pipeline holds zero HBM
+        return out
 
 
 def postprocess_to_uint8(images: jnp.ndarray) -> np.ndarray:

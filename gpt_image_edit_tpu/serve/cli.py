@@ -54,6 +54,10 @@ def build_parser():
     p.add_argument("--vae_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"],
                    help="VAE compute dtype (reference serves bf16)")
+    p.add_argument("--offload", action="store_true",
+                   help="sequential component offload (the reference's "
+                        "--offload/enable_model_cpu_offload): params park in "
+                        "pinned_host memory, stage into HBM per stage")
     p.add_argument("--quantize_vlm", nargs="?", const="int8", default=None,
                    choices=["int8", "w8a8"],
                    help="int8 VLM trunk (single-chip serving): bare flag or "
@@ -71,7 +75,7 @@ def main(argv=None):
         args.model_path, args.flux_path, tiny=args.tiny, seed=args.seed,
         quantize=args.quantize, joint_with_t5=not args.no_joint_with_t5,
         unroll_blocks=args.unroll_blocks, scan_unroll=args.scan_unroll,
-        vae_dtype=args.vae_dtype,
+        vae_dtype=args.vae_dtype, offload=args.offload,
         quantize_vlm=args.quantize_vlm,
     )
     image = Image.open(args.image) if args.image else None

@@ -65,6 +65,10 @@ class UnivaRuntime:
         # bf16 path numerically benign (tested). "float32" opts out.
         quantize_vlm: "bool | str" = False,  # int8 VLM trunk (single-
         # 16GB-chip serving: 7GB trunk + 12GB quantized FLUX via host swap)
+        offload: bool = False,           # the reference's --offload
+        # (ref:app.py:37,177-178 enable_model_cpu_offload), TPU-native:
+        # VLM/FLUX/VAE params park in pinned_host memory and stage into HBM
+        # only for the stage that uses them — peak-HBM = one component
     ):
         self.prompter = Qwen2VLPrompter()
         self.history_images: List[Image.Image] = []
@@ -172,7 +176,18 @@ class UnivaRuntime:
                 self.task_head = load_task_head(th_path)
                 log.info("loaded task head from %s", th_path)
 
-        self.pipe = KontextPipeline(flux_params, self.fcfg, vae_params, self.vcfg)
+        self.offload = offload
+        self._staged_vlm = None
+        if offload:
+            host_s = jax.sharding.SingleDeviceSharding(
+                jax.devices()[0], memory_kind="pinned_host"
+            )
+            self.qwen_params = jax.device_put(self.qwen_params, host_s)
+        # the reference pairs --offload with vae slicing (ref:app.py:177-179)
+        self.pipe = KontextPipeline(
+            flux_params, self.fcfg, vae_params, self.vcfg,
+            offload=offload, vae_slicing=offload,
+        )
         self.rng = jax.random.key(seed)
 
         # FLUX text encoders for real CLIP pooled embeds (+ optional T5
@@ -193,6 +208,23 @@ class UnivaRuntime:
                     "no text_encoder/ under %s: pooled embeds fall back to "
                     "zeros (DIVERGES from the reference serving path)", enc_dir
                 )
+
+    # ------------------------------------------------------------------
+    def _qwen(self):
+        """Device-resident VLM params (stages the pinned_host master into
+        HBM in offload mode)."""
+        if not self.offload:
+            return self.qwen_params
+        if self._staged_vlm is None:
+            self._staged_vlm = jax.device_put(
+                self.qwen_params,
+                jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+            )
+        return self._staged_vlm
+
+    def _evict_vlm(self):
+        """Drop the VLM's HBM copy before the FLUX scan (offload mode)."""
+        self._staged_vlm = None
 
     # ------------------------------------------------------------------
     def _prepare_inputs(
@@ -216,7 +248,7 @@ class UnivaRuntime:
         """ChatML + <image> expansion -> LVLM denoise_embeds."""
         kwargs, _ = self._prepare_inputs(conversation, images, gen_trigger=True)
         embeds = apply_qwen(
-            self.qwen_params, self.qcfg, output_type="denoise_embeds", **kwargs
+            self._qwen(), self.qcfg, output_type="denoise_embeds", **kwargs
         )
         return embeds, kwargs
 
@@ -306,6 +338,7 @@ class UnivaRuntime:
 
         rng = jax.random.key(seed) if seed is not None else self.rng
         self.rng, sample_rng = jax.random.split(rng)
+        self._evict_vlm()  # offload: VLM HBM copy freed before the scan
         out = self.pipe(
             prompt_embeds=embeds.astype(jnp.bfloat16),
             pooled_prompt_embeds=pooled.astype(jnp.bfloat16),
@@ -340,7 +373,7 @@ class UnivaRuntime:
         conversation = [{"from": "user", "value": value}]
         images = [image] if image is not None else []
         kwargs, _ = self._prepare_inputs(conversation, images)
-        hidden = apply_qwen(self.qwen_params, self.qcfg, output_type="hidden", **kwargs)
+        hidden = apply_qwen(self._qwen(), self.qcfg, output_type="hidden", **kwargs)
         return bool(_route(self.task_head, hidden, np.asarray(kwargs["input_ids"]))[0])
 
     def chat(self, message: str, image: Optional[Image.Image] = None, **kw):
@@ -398,7 +431,7 @@ class UnivaRuntime:
 
                 kwargs, _ = self._prepare_inputs(self.conversation, self.history_images)
                 hidden = apply_qwen(
-                    self.qwen_params, self.qcfg, output_type="hidden", **kwargs
+                    self._qwen(), self.qcfg, output_type="hidden", **kwargs
                 )
                 generate = bool(
                     _route(self.task_head, hidden, np.asarray(kwargs["input_ids"]))[0]
@@ -431,6 +464,7 @@ class UnivaRuntime:
             seed = edit_kw.pop("seed", None)
             rng = jax.random.key(seed) if seed is not None else self.rng
             self.rng, sample_rng = jax.random.split(rng)
+            self._evict_vlm()  # offload: VLM HBM copy freed before the scan
             out = self.pipe(
                 prompt_embeds=embeds.astype(jnp.bfloat16),
                 pooled_prompt_embeds=pooled.astype(jnp.bfloat16),
@@ -454,7 +488,7 @@ class UnivaRuntime:
         from gpt_image_edit_tpu.models.qwen2p5vl.model import generate_greedy
 
         out_tokens = generate_greedy(
-            self.qwen_params, self.qcfg,
+            self._qwen(), self.qcfg,
             rope_delta=int(deltas[0, 0]),
             max_new_tokens=edit_kw.pop("max_new_tokens", 128),
             eos_token_id=getattr(self.tokenizer, "eos_token_id", C.IM_END_ID),
@@ -532,7 +566,7 @@ class UnivaRuntime:
         from gpt_image_edit_tpu.models.qwen2p5vl.model import generate_greedy
 
         out_tokens = generate_greedy(
-            self.qwen_params, self.qcfg,
+            self._qwen(), self.qcfg,
             rope_delta=int(deltas[0, 0]),
             max_new_tokens=max_new_tokens,
             eos_token_id=getattr(self.tokenizer, "eos_token_id", C.IM_END_ID),

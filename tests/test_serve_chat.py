@@ -189,8 +189,8 @@ class TestVaeDtype:
         # fp32 host input is coerced inside the jitted encode: latents come
         # out in the VAE compute dtype either way
         img = jnp.zeros((1, 32, 32, 3), jnp.float32)
-        assert rt16.pipe._encode(img).dtype == jnp.bfloat16
-        assert rt32.pipe._encode(img).dtype == jnp.float32
+        assert rt16.pipe._encode(rt16.pipe.vae_params, img).dtype == jnp.bfloat16
+        assert rt32.pipe._encode(rt32.pipe.vae_params, img).dtype == jnp.float32
 
     def test_edit_runs_with_bf16_vae(self):
         rt = UnivaRuntime(tiny=True)
@@ -249,3 +249,44 @@ class TestQuantizedVlm:
 
         with pytest.raises(ValueError):
             UnivaRuntime(tiny=True, quantize_vlm="nf4")
+
+
+class TestOffload:
+    """offload=True = the reference's --offload/enable_model_cpu_offload
+    (ref:app.py:37,177-178) the TPU way: component params park in
+    pinned_host memory, stage into HBM per pipeline stage, and the idle
+    pipeline holds zero device copies. Must be numerically identical."""
+
+    def test_params_parked_in_pinned_host(self):
+        import jax
+
+        rt = UnivaRuntime(tiny=True, offload=True)
+        for tree in (rt.qwen_params, rt.pipe.flux_params, rt.pipe.vae_params):
+            leaf = jax.tree_util.tree_leaves(tree)[0]
+            assert leaf.sharding.memory_kind == "pinned_host"
+        assert rt.pipe._staged == {} and rt._staged_vlm is None
+
+    def test_edit_matches_resident_and_evicts(self):
+        rt_res = UnivaRuntime(tiny=True)
+        rt_off = UnivaRuntime(tiny=True, offload=True)
+        img = _img(7)
+        a = rt_res.edit("make it night", img, steps=2, seed=3)
+        b = rt_off.edit("make it night", img, steps=2, seed=3)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # after the edit the staged copies are gone again
+        assert rt_off.pipe._staged == {} and rt_off._staged_vlm is None
+
+    def test_vae_slicing_batched_matches(self):
+        """offload pairs with vae slicing (ref:app.py:177-179): batched
+        sampling decodes per-latent; outputs must match the batched decode."""
+        rt_res = UnivaRuntime(tiny=True)
+        rt_off = UnivaRuntime(tiny=True, offload=True)
+        assert rt_off.pipe.vae_slicing and not rt_res.pipe.vae_slicing
+        img = _img(9)
+        a = rt_res.edit("add snow", img, steps=2, seed=5,
+                        num_images_per_prompt=2)
+        b = rt_off.edit("add snow", img, steps=2, seed=5,
+                        num_images_per_prompt=2)
+        assert len(a) == len(b) == 2
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
