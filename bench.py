@@ -153,7 +153,10 @@ def _assemble(scan: dict, e2e: dict | None, train: dict | None) -> dict:
         extra = ""
         if e2e and "t_other_s" in e2e:
             t_e2e = t_best + e2e["t_other_s"]
-            extra = (f"; end-to-end edit incl. VLM+MLP2+T5+VAE {t_e2e:.2f}s "
+            # label exactly what the composed number includes (a failed or
+            # pre-T5-cached e2e dict must not claim T5 was measured)
+            comps = "VLM+MLP2" + ("+T5" if e2e.get("t_t5_s") else "") + "+VAE"
+            extra = (f"; end-to-end edit incl. {comps} {t_e2e:.2f}s "
                      f"= {1.0 / t_e2e:.4f} img/s")
             log(f"e2e: scan {t_best:.2f}s + other {e2e['t_other_s']:.2f}s "
                 f"= {t_e2e:.2f}s/edit ({1.0 / t_e2e:.4f} img/s/chip)")
@@ -523,7 +526,7 @@ def phase_scan() -> dict:
                     variants.append(("q_w8a8", "W8A8", "auto", True, 1))
                 elif tok == "w8a8_unrolled":
                     variants.append(("q_w8a8", "W8A8 unrolled", "auto", False, 1))
-                elif tok.startswith("w8a8_u"):
+                elif tok.startswith("w8a8_u") and tok[len("w8a8_u"):].isdigit():
                     k = int(tok[len("w8a8_u"):])
                     variants.append(("q_w8a8", f"W8A8 scan-u{k}", "auto", True, k))
                 else:
@@ -655,6 +658,7 @@ def phase_e2e() -> dict:
     # --quantize_vlm w8a8 pays on the e2e path too
     t_vlm_w8a8 = None
     if on_tpu:
+        params = None
         try:
             params = quantize_params(
                 _shape_params(jax, jnp, abstract), mode="w8a8",
@@ -671,14 +675,16 @@ def phase_e2e() -> dict:
             t_vlm_w8a8 = (time.perf_counter() - t0) / reps
             log(f"VLM denoise_embeds fwd W8A8: {t_vlm_w8a8 * 1000:.1f} ms "
                 f"({(t_vlm / t_vlm_w8a8 - 1) * 100:+.1f}% vs weight-only)")
-            del params
         except Exception as e:
             log(f"W8A8 VLM row failed ({type(e).__name__}): {str(e)[:200]}")
+        finally:
+            del params  # free ~7GB HBM even on failure (T5/VAE rows follow)
 
     # T5-XXL encoder forward (the reference's default serving path concats
     # T5 embeds after the VLM ones, ref:univa/serve/cli.py joint_with_t5;
     # 4.7B encoder, int8 weight-only, prompt bucket 512)
     t_t5 = None
+    tparams = None
     try:
         from gpt_image_edit_tpu.models import t5 as t5_model
 
@@ -706,9 +712,10 @@ def phase_e2e() -> dict:
         t_t5 = (time.perf_counter() - t0) / reps
         log(f"T5-XXL encode (seq {t5_seq}, "
             f"{'int8' if on_tpu else 'tiny'}): {t_t5 * 1000:.1f} ms")
-        del tparams
     except Exception as e:
         log(f"T5 row failed ({type(e).__name__}): {str(e)[:200]}")
+    finally:
+        del tparams  # free the 4.7GB int8 tree before the 1024^2 VAE rows
 
     vcfg = VaeConfig() if on_tpu else VaeConfig.tiny()
     vabs = jax.eval_shape(lambda k: init_vae(k, vcfg), jax.random.key(0))

@@ -134,13 +134,18 @@ def apply(
     return seq, pooled
 
 
-def convert_clip(src, cfg: ClipTextConfig, prefix: str = "text_model.") -> Params:
-    from gpt_image_edit_tpu.utils.ckpt_convert import _lin, _stack
+def convert_clip(src, cfg: ClipTextConfig, prefix: str = "text_model.",
+                 placement=None) -> Params:
+    from gpt_image_edit_tpu.utils.ckpt_convert import (
+        _arr, _lin, _stack, with_placement,
+    )
+    if placement is not None:
+        return with_placement(convert_clip)(src, cfg, prefix, placement=placement)
 
     def _ln(key):
         return {
-            "scale": jnp.asarray(src.get(f"{key}.weight")),
-            "bias": jnp.asarray(src.get(f"{key}.bias")),
+            "scale": _arr(src.get(f"{key}.weight")),
+            "bias": _arr(src.get(f"{key}.bias")),
         }
 
     p = prefix
@@ -164,14 +169,14 @@ def convert_clip(src, cfg: ClipTextConfig, prefix: str = "text_model.") -> Param
             }
         )
     out = {
-        "token_embed": jnp.asarray(src.get(f"{p}embeddings.token_embedding.weight")),
-        "pos_embed": jnp.asarray(src.get(f"{p}embeddings.position_embedding.weight")),
+        "token_embed": _arr(src.get(f"{p}embeddings.token_embedding.weight")),
+        "pos_embed": _arr(src.get(f"{p}embeddings.position_embedding.weight")),
         "layers": _stack(layers),
         "final_ln": _ln(f"{p}final_layer_norm"),
     }
     if "text_projection.weight" in src:
         # CLIPTextModelWithProjection (no bias)
         out["text_projection"] = {
-            "kernel": jnp.asarray(src.get("text_projection.weight")).T
+            "kernel": _arr(src.get("text_projection.weight").T)
         }
     return out

@@ -130,9 +130,14 @@ def apply(
     return rms_norm(x, params["final_ln"]["scale"], cfg.rms_eps)
 
 
-def convert_t5(src, cfg: T5Config, prefix: str = "") -> Params:
-    """HF T5EncoderModel state dict -> params."""
-    from gpt_image_edit_tpu.utils.ckpt_convert import _lin, _norm_scale, _stack
+def convert_t5(src, cfg: T5Config, prefix: str = "", placement=None) -> Params:
+    """HF T5EncoderModel state dict -> params. `placement`: see
+    ckpt_convert.with_placement (host-side build + park, for --offload)."""
+    from gpt_image_edit_tpu.utils.ckpt_convert import (
+        _arr, _lin, _norm_scale, _stack, with_placement,
+    )
+    if placement is not None:
+        return with_placement(convert_t5)(src, cfg, prefix, placement=placement)
 
     p = prefix
     layers = []
@@ -156,8 +161,8 @@ def convert_t5(src, cfg: T5Config, prefix: str = "") -> Params:
             }
         )
     return {
-        "embed": jnp.asarray(src.get(f"{p}shared.weight")),
-        "rel_bias": jnp.asarray(
+        "embed": _arr(src.get(f"{p}shared.weight")),
+        "rel_bias": _arr(
             src.get(
                 f"{p}encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
             )

@@ -204,20 +204,13 @@ class KontextPipeline:
         vae_dtype = jnp.result_type(
             *(jax.tree_util.tree_leaves(vae_params)[:1] or [jnp.float32])
         )
+        from gpt_image_edit_tpu.utils.offload import ComponentStore
+
         self.offload = offload
         self.vae_slicing = vae_slicing
-        if offload:
-            dev = jax.devices()[0]
-            host_s = jax.sharding.SingleDeviceSharding(
-                dev, memory_kind="pinned_host"
-            )
-            self._dev_sharding = jax.sharding.SingleDeviceSharding(dev)
-            self.flux_params = jax.device_put(flux_params, host_s)
-            self.vae_params = jax.device_put(vae_params, host_s)
-        else:
-            self.flux_params = flux_params
-            self.vae_params = vae_params
-        self._staged = {}  # component -> device-resident copy (offload mode)
+        self._store = ComponentStore(enabled=offload)
+        self.flux_params = self._store.add("flux", flux_params)
+        self.vae_params = self._store.add("vae", vae_params)
         self._encode = jax.jit(
             lambda p, x: encode_to_scaled_latents(
                 p, vae_cfg, x.astype(vae_dtype)
@@ -232,17 +225,12 @@ class KontextPipeline:
     def _component(self, name: str):
         """Device-resident params for `name` ('flux' | 'vae'): in offload
         mode, stage the pinned_host master into HBM on first use."""
-        tree = self.flux_params if name == "flux" else self.vae_params
-        if not self.offload:
-            return tree
-        if name not in self._staged:
-            self._staged[name] = jax.device_put(tree, self._dev_sharding)
-        return self._staged[name]
+        return self._store.stage(name)
 
     def _evict(self, name: str):
         """Drop the HBM copy of `name` (host master stays). In-flight
         computations keep their buffers alive; this only releases our ref."""
-        self._staged.pop(name, None)
+        self._store.evict(name)
 
     def encode_reference(self, image: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """image: (B, H, W, 3) in [-1, 1] -> (packed ref latents, ref ids)."""
@@ -336,6 +324,15 @@ class KontextPipeline:
         guidance = jnp.full((b,), guidance_scale, dtype=jnp.float32)
 
         if self.offload:
+            # Barrier before committing the FLUX HBM copy: on axon dispatch
+            # is async, so without a sync the VLM-prefill / VAE-encode
+            # consumers may still hold their weights' buffers while the
+            # ~12GB FLUX stage-in lands -> transient co-residency OOM.
+            from gpt_image_edit_tpu.utils.offload import sync as _offload_sync
+
+            _offload_sync(prompt_embeds)
+            if image_latents is not None:
+                _offload_sync(image_latents)
             self._evict("vae")  # scan is the HBM-peak stage
         final = denoise_scan(
             self._component("flux"),

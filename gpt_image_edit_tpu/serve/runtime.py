@@ -70,6 +70,10 @@ class UnivaRuntime:
         # VLM/FLUX/VAE params park in pinned_host memory and stage into HBM
         # only for the stage that uses them — peak-HBM = one component
     ):
+        from gpt_image_edit_tpu.utils.offload import ComponentStore
+
+        self.offload = offload
+        self._store = ComponentStore(enabled=offload)
         self.prompter = Qwen2VLPrompter()
         self.history_images: List[Image.Image] = []
         # ViT view pixel budget (448^2 like ref:cli.py:33-34; tiny grids scale down)
@@ -97,11 +101,18 @@ class UnivaRuntime:
             # step time at +0.17% rel err (4x below bf16's own rounding)
             self.qcfg, self.vcfg = Qwen2p5VLConfig(), VaeConfig()
             self.fcfg = dataclasses.replace(FluxConfig(), rope_dtype="bfloat16")
+            # offload: convert host-side and park straight into pinned_host
+            # (the device never transiently holds the full-precision trees;
+            # the reference's cpu_offload likewise loads on CPU)
             self.qwen_params, flux_params = load_merged_checkpoint(
-                model_path, self.qcfg, self.fcfg
+                model_path, self.qcfg, self.fcfg,
+                placement=self._store.placement,
             )
             vae_dir = flux_path or model_path
-            vae_params = convert_vae(TensorSource.from_dir(f"{vae_dir}/vae"), self.vcfg)
+            vae_params = convert_vae(
+                TensorSource.from_dir(f"{vae_dir}/vae"), self.vcfg,
+                placement=self._store.placement,
+            )
             self.tokenizer = load_tokenizer(model_path)
             self.vit_pixels = 200704
 
@@ -176,13 +187,7 @@ class UnivaRuntime:
                 self.task_head = load_task_head(th_path)
                 log.info("loaded task head from %s", th_path)
 
-        self.offload = offload
-        self._staged_vlm = None
-        if offload:
-            host_s = jax.sharding.SingleDeviceSharding(
-                jax.devices()[0], memory_kind="pinned_host"
-            )
-            self.qwen_params = jax.device_put(self.qwen_params, host_s)
+        self.qwen_params = self._store.add("vlm", self.qwen_params)
         # the reference pairs --offload with vae slicing (ref:app.py:177-179)
         self.pipe = KontextPipeline(
             flux_params, self.fcfg, vae_params, self.vcfg,
@@ -213,18 +218,19 @@ class UnivaRuntime:
     def _qwen(self):
         """Device-resident VLM params (stages the pinned_host master into
         HBM in offload mode)."""
-        if not self.offload:
-            return self.qwen_params
-        if self._staged_vlm is None:
-            self._staged_vlm = jax.device_put(
-                self.qwen_params,
-                jax.sharding.SingleDeviceSharding(jax.devices()[0]),
-            )
-        return self._staged_vlm
+        return self._store.stage("vlm")
 
     def _evict_vlm(self):
-        """Drop the VLM's HBM copy before the FLUX scan (offload mode)."""
-        self._staged_vlm = None
+        """Drop the VLM (+ text encoder) HBM copies before the FLUX scan /
+        at the end of text-only entry points (offload mode). The pipeline
+        syncs on the conditioning tensors before staging FLUX, so in-flight
+        consumers finish before fresh HBM is committed."""
+        self._store.evict("vlm")
+        # injected stand-in encoders (tests, T5-only ablation) may not
+        # implement the offload protocol
+        evict = getattr(self.text_encoders, "evict", None)
+        if evict is not None:
+            evict()
 
     # ------------------------------------------------------------------
     def _prepare_inputs(
@@ -494,6 +500,8 @@ class UnivaRuntime:
             eos_token_id=getattr(self.tokenizer, "eos_token_id", C.IM_END_ID),
             **kwargs,
         )
+        if self.offload:
+            self._evict_vlm()  # decode done (tokens on host); idle = 0 HBM
         if hasattr(self.tokenizer, "decode"):
             answer = self.tokenizer.decode(out_tokens, skip_special_tokens=True)
         else:
@@ -507,7 +515,10 @@ class UnivaRuntime:
         only_use_t5 ablation / CLIP pooled embeds (ref:train_denoiser.py:408-426)."""
         from gpt_image_edit_tpu.utils.prompt_embeds import FluxTextEncoders
 
-        self.text_encoders = FluxTextEncoders(flux_ckpt_dir)
+        self.text_encoders = FluxTextEncoders(
+            flux_ckpt_dir,
+            offload_store=self._store if self.offload else None,
+        )
         return self.text_encoders
 
     def edit_t5_only(
@@ -539,6 +550,7 @@ class UnivaRuntime:
             cond = jnp.asarray(preprocess_vae_image(image, bh, bw))[None]
         rng = jax.random.key(seed) if seed is not None else self.rng
         self.rng, sample_rng = jax.random.split(rng)
+        self._evict_vlm()  # offload: drop T5/CLIP HBM copies before the scan
         out = self.pipe(
             prompt_embeds=embeds.astype(jnp.bfloat16),
             pooled_prompt_embeds=pooled.astype(jnp.bfloat16),
@@ -572,6 +584,10 @@ class UnivaRuntime:
             eos_token_id=getattr(self.tokenizer, "eos_token_id", C.IM_END_ID),
             **kwargs,
         )
+        if self.offload:
+            # out_tokens are host ints (decode completed) -> VLM buffers
+            # have no in-flight consumers; restore the idle-=-zero-HBM state
+            self._evict_vlm()
         if hasattr(self.tokenizer, "decode"):
             return self.tokenizer.decode(out_tokens, skip_special_tokens=True)
         return " ".join(map(str, out_tokens))

@@ -83,43 +83,79 @@ class TensorSource:
                 handles[fname] = safe_open(fname, framework="np")
             t = handles[fname].get_tensor(k)
             if t.dtype == np.dtype("V2"):  # bfloat16 raw view
-                import jax
+                import ml_dtypes
 
-                t = np.asarray(jnp.asarray(t.view(jnp.bfloat16)), dtype=np.float32)
+                t = np.asarray(t.view(ml_dtypes.bfloat16), dtype=np.float32)
             return np.asarray(t, dtype=np.float32) if t.dtype != np.float32 else t
 
         return cls(_get, files.keys())
 
 
+# Optional load placement: while set (via the `placement=` kwarg on the
+# public converters), leaves are built as HOST numpy arrays and parked into
+# the given sharding (e.g. pinned_host memory for --offload serving) only at
+# the end — the device holds ZERO transient copies during conversion. The
+# default path (placement=None) commits leaves to the default device as
+# before.
+_PLACEMENT = None
+
+
+def _arr(x):
+    return np.asarray(x) if _PLACEMENT is not None else jnp.asarray(x)
+
+
+def with_placement(fn):
+    """Adds a `placement=None` kwarg to a converter: build host-side, then
+    jax.device_put the finished tree into the sharding in one pass."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, placement=None, **kwargs):
+        global _PLACEMENT
+        if placement is None:
+            return fn(*args, **kwargs)
+        prev, _PLACEMENT = _PLACEMENT, placement
+        try:
+            tree = fn(*args, **kwargs)
+        finally:
+            _PLACEMENT = prev
+        import jax
+
+        return jax.device_put(tree, placement)
+
+    return wrapped
+
+
 def _lin(src: TensorSource, prefix: str, bias: bool = True):
-    p = {"kernel": jnp.asarray(src.get(f"{prefix}.weight").T)}
+    p = {"kernel": _arr(src.get(f"{prefix}.weight").T)}
     if bias and f"{prefix}.bias" in src:
-        p["bias"] = jnp.asarray(src.get(f"{prefix}.bias"))
+        p["bias"] = _arr(src.get(f"{prefix}.bias"))
     return p
 
 
 def _norm_scale(src: TensorSource, key: str):
-    return {"scale": jnp.asarray(src.get(f"{key}.weight"))}
+    return {"scale": _arr(src.get(f"{key}.weight"))}
 
 
 def _conv(src: TensorSource, prefix: str):
-    p = {"kernel": jnp.asarray(src.get(f"{prefix}.weight").transpose(2, 3, 1, 0))}
+    p = {"kernel": _arr(src.get(f"{prefix}.weight").transpose(2, 3, 1, 0))}
     if f"{prefix}.bias" in src:
-        p["bias"] = jnp.asarray(src.get(f"{prefix}.bias"))
+        p["bias"] = _arr(src.get(f"{prefix}.bias"))
     return p
 
 
 def _gn(src: TensorSource, prefix: str):
     return {
-        "scale": jnp.asarray(src.get(f"{prefix}.weight")),
-        "bias": jnp.asarray(src.get(f"{prefix}.bias")),
+        "scale": _arr(src.get(f"{prefix}.weight")),
+        "bias": _arr(src.get(f"{prefix}.bias")),
     }
 
 
 def _stack(trees):
     import jax
 
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+    stack = np.stack if _PLACEMENT is not None else jnp.stack
+    return jax.tree_util.tree_map(lambda *xs: stack(xs), *trees)
 
 
 def _detect_prefix(src: TensorSource, candidates) -> str:
@@ -137,7 +173,7 @@ def _detect_prefix(src: TensorSource, candidates) -> str:
 def convert_qwen_vision(src: TensorSource, depth: int, vp: str = "visual."):
     pe = src.get(f"{vp}patch_embed.proj.weight")  # (D, 3, t, p, p)
     d = pe.shape[0]
-    params = {"patch_embed": {"kernel": jnp.asarray(pe.reshape(d, -1).T)}}
+    params = {"patch_embed": {"kernel": _arr(pe.reshape(d, -1).T)}}
     blocks = []
     for i in range(depth):
         b = f"{vp}blocks.{i}."
@@ -166,7 +202,7 @@ def convert_qwen_vision(src: TensorSource, depth: int, vp: str = "visual."):
 
 
 def convert_qwen_lm(src: TensorSource, num_layers: int, lp: str = "model."):
-    params = {"embed_tokens": jnp.asarray(src.get(f"{lp}embed_tokens.weight"))}
+    params = {"embed_tokens": _arr(src.get(f"{lp}embed_tokens.weight"))}
     layers = []
     for i in range(num_layers):
         b = f"{lp}layers.{i}."
@@ -194,6 +230,7 @@ def convert_qwen_lm(src: TensorSource, num_layers: int, lp: str = "model."):
     return params
 
 
+@with_placement
 def convert_qwen(src: TensorSource, cfg) -> dict:
     """Full UniVA Qwen2.5-VL (visual + lm [+ projector if present])."""
     vp = _detect_prefix(src, ["visual.", "model.visual."])
@@ -218,6 +255,7 @@ def convert_qwen(src: TensorSource, cfg) -> dict:
 # FLUX transformer (diffusers naming)
 # --------------------------------------------------------------------------
 
+@with_placement
 def convert_flux(src: TensorSource, cfg, prefix: str = "") -> dict:
     p = prefix
     params = {
@@ -318,6 +356,7 @@ def _vae_attn_from(src: TensorSource, prefix: str) -> dict:
     }
 
 
+@with_placement
 def convert_vae(src: TensorSource, cfg, prefix: str = "") -> dict:
     n = len(cfg.block_out_channels)
     enc = {
@@ -374,11 +413,17 @@ def convert_vae(src: TensorSource, cfg, prefix: str = "") -> dict:
 # merged checkpoint (the reference's single-dir format)
 # --------------------------------------------------------------------------
 
-def load_merged_checkpoint(path: str, qwen_cfg, flux_cfg):
+def load_merged_checkpoint(path: str, qwen_cfg, flux_cfg, placement=None):
     """Load the reference's merged UniVA checkpoint directory
     (ref:scripts/make_univa_qwen2p5vl_weight.py:73-76): Qwen2.5-VL + MLP2
-    projector + FLUX transformer under `denoise_tower.denoiser.`."""
+    projector + FLUX transformer under `denoise_tower.denoiser.`.
+
+    `placement`: optional jax.sharding.Sharding (e.g. pinned_host for
+    --offload) — tensors convert host-side and park straight there, so the
+    device never transiently holds the full-precision trees at load time."""
     src = TensorSource.from_dir(path)
-    qwen = convert_qwen(src, qwen_cfg)
-    flux = convert_flux(src, flux_cfg, prefix="denoise_tower.denoiser.")
+    qwen = convert_qwen(src, qwen_cfg, placement=placement)
+    flux = convert_flux(
+        src, flux_cfg, prefix="denoise_tower.denoiser.", placement=placement
+    )
     return qwen, flux

@@ -21,12 +21,18 @@ class FluxTextEncoders:
     empty-prompt conditioning, ref:train_denoiser.py:795-805) never
     materializes the ~19GB T5-XXL encoder."""
 
-    def __init__(self, flux_ckpt_dir: str):
+    def __init__(self, flux_ckpt_dir: str, offload_store=None):
+        """`offload_store`: optional utils.offload.ComponentStore — when
+        given, loaded encoder params are parked in pinned_host memory and
+        staged into HBM per encode call (the T5-XXL encoder is ~9.4GB bf16;
+        leaving it HBM-resident would defeat --offload's
+        peak-HBM-=-one-component guarantee)."""
         self._dir = flux_ckpt_dir
         self.clip_cfg = clip_mod.ClipTextConfig()
         self.t5_cfg = t5_mod.T5Config()
         self._clip = None  # (tokenizer, params)
         self._t5 = None
+        self._store = offload_store
 
     @property
     def clip(self):
@@ -37,8 +43,11 @@ class FluxTextEncoders:
 
             tok = AutoTokenizer.from_pretrained(f"{self._dir}/tokenizer")
             params = clip_mod.convert_clip(
-                TensorSource.from_dir(f"{self._dir}/text_encoder"), self.clip_cfg
+                TensorSource.from_dir(f"{self._dir}/text_encoder"), self.clip_cfg,
+                placement=(self._store.placement if self._store else None),
             )
+            if self._store is not None:
+                params = self._store.add("clip", params)
             self._clip = (tok, params)
         return self._clip
 
@@ -51,10 +60,19 @@ class FluxTextEncoders:
 
             tok = AutoTokenizer.from_pretrained(f"{self._dir}/tokenizer_2")
             params = t5_mod.convert_t5(
-                TensorSource.from_dir(f"{self._dir}/text_encoder_2"), self.t5_cfg
+                TensorSource.from_dir(f"{self._dir}/text_encoder_2"), self.t5_cfg,
+                placement=(self._store.placement if self._store else None),
             )
+            if self._store is not None:
+                params = self._store.add("t5", params)
             self._t5 = (tok, params)
         return self._t5
+
+    def evict(self):
+        """Drop any staged HBM copies (offload mode; host masters stay)."""
+        if self._store is not None:
+            self._store.evict("clip")
+            self._store.evict("t5")
 
     # Backwards-compatible attribute access
     @property
@@ -63,7 +81,8 @@ class FluxTextEncoders:
 
     @property
     def clip_params(self):
-        return self.clip[1]
+        p = self.clip[1]
+        return self._store.stage("clip") if self._store is not None else p
 
     @property
     def t5_tokenizer(self):
@@ -71,7 +90,8 @@ class FluxTextEncoders:
 
     @property
     def t5_params(self):
-        return self.t5[1]
+        p = self.t5[1]
+        return self._store.stage("t5") if self._store is not None else p
 
     def encode_clip_pooled(self, prompts: List[str]) -> jnp.ndarray:
         """(B, 768) pooled embeds

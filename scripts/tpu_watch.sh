@@ -9,6 +9,7 @@ set -u
 LOG="${GIE_WATCH_LOG:-/tmp/tpu_watch.log}"
 INTERVAL="${GIE_WATCH_INTERVAL:-240}"
 MAX_PROBES="${GIE_WATCH_MAX_PROBES:-200}"
+echo $$ > "${GIE_WATCH_PIDFILE:-/tmp/tpu_watch.pid}"
 cd "$(dirname "$0")/.."
 
 probe() {
@@ -35,3 +36,10 @@ echo "tunnel healthy after $n failed probes $(date)" >>"$LOG"
 timeout 7200 python bench.py >/tmp/bench_supervised.json 2>>"$LOG"
 echo "supervised bench rc=$? $(date)" >>"$LOG"
 cat /tmp/bench_supervised.json >>"$LOG"
+
+# focused experiment commands, one per argument (each run via bash -c)
+for cmd in "$@"; do
+  echo "experiment: $cmd $(date)" >>"$LOG"
+  timeout 3600 bash -c "$cmd" >>"$LOG" 2>&1
+  echo "experiment rc=$? $(date)" >>"$LOG"
+done

@@ -264,7 +264,7 @@ class TestOffload:
         for tree in (rt.qwen_params, rt.pipe.flux_params, rt.pipe.vae_params):
             leaf = jax.tree_util.tree_leaves(tree)[0]
             assert leaf.sharding.memory_kind == "pinned_host"
-        assert rt.pipe._staged == {} and rt._staged_vlm is None
+        assert rt.pipe._store.idle and rt._store.idle
 
     def test_edit_matches_resident_and_evicts(self):
         rt_res = UnivaRuntime(tiny=True)
@@ -274,7 +274,64 @@ class TestOffload:
         b = rt_off.edit("make it night", img, steps=2, seed=3)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         # after the edit the staged copies are gone again
-        assert rt_off.pipe._staged == {} and rt_off._staged_vlm is None
+        assert rt_off.pipe._store.idle and rt_off._store.idle
+
+    def test_text_only_paths_evict(self):
+        """answer() and text chat turns must restore the idle-=-zero-HBM
+        invariant, not leave the VLM staged (code-review r3 finding)."""
+        rt = UnivaRuntime(tiny=True, offload=True)
+        rt.answer("describe", _img(4), max_new_tokens=3)
+        assert rt._store.idle
+        rt.reset_chat()
+        img, txt = rt.chat_turn("what is this?", [_img(4)],
+                                force_generate=False, max_new_tokens=3)
+        assert img is None and isinstance(txt, str)
+        assert rt._store.idle
+
+    def test_ckpt_placement_loads_host_side(self, tmp_path):
+        """ckpt_convert placement kwarg: leaves build as HOST numpy and park
+        straight into the given sharding — load-time peak HBM stays flat."""
+        import jax
+        import jax.numpy as jnp
+        from safetensors.numpy import save_file
+
+        from gpt_image_edit_tpu.utils.ckpt_convert import TensorSource
+        from gpt_image_edit_tpu.models.clip import convert_clip
+        from gpt_image_edit_tpu.utils.offload import host_sharding
+
+        rng = np.random.default_rng(0)
+        import gpt_image_edit_tpu.models.clip as clip_mod
+
+        cfg = clip_mod.ClipTextConfig.tiny()
+        d, ff, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+        sd = {
+            "text_model.embeddings.token_embedding.weight":
+                rng.standard_normal((v, d)).astype(np.float32),
+            "text_model.embeddings.position_embedding.weight":
+                rng.standard_normal((cfg.max_position_embeddings, d)).astype(np.float32),
+            "text_model.final_layer_norm.weight": np.ones(d, np.float32),
+            "text_model.final_layer_norm.bias": np.zeros(d, np.float32),
+        }
+        for i in range(cfg.num_layers):
+            b = f"text_model.encoder.layers.{i}."
+            for name, shape in [
+                ("self_attn.q_proj", (d, d)), ("self_attn.k_proj", (d, d)),
+                ("self_attn.v_proj", (d, d)), ("self_attn.out_proj", (d, d)),
+                ("mlp.fc1", (ff, d)), ("mlp.fc2", (d, ff)),
+            ]:
+                sd[f"{b}{name}.weight"] = rng.standard_normal(shape).astype(np.float32)
+                sd[f"{b}{name}.bias"] = np.zeros(shape[0], np.float32)
+            for ln in ("layer_norm1", "layer_norm2"):
+                sd[f"{b}{ln}.weight"] = np.ones(d, np.float32)
+                sd[f"{b}{ln}.bias"] = np.zeros(d, np.float32)
+
+        src = TensorSource.from_state_dict(sd)
+        placed = convert_clip(src, cfg, placement=host_sharding())
+        plain = convert_clip(TensorSource.from_state_dict(sd), cfg)
+        for a, b in zip(jax.tree_util.tree_leaves(placed),
+                        jax.tree_util.tree_leaves(plain)):
+            assert a.sharding.memory_kind == "pinned_host"
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_vae_slicing_batched_matches(self):
         """offload pairs with vae slicing (ref:app.py:177-179): batched
