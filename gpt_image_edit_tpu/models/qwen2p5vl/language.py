@@ -17,6 +17,7 @@ from gpt_image_edit_tpu.models.common import (
     Params,
     linear,
     linear_init,
+    linear_multi,
     rms_weight_init,
 )
 from gpt_image_edit_tpu.models.qwen2p5vl.config import TextConfig
@@ -63,18 +64,19 @@ def _layer(p: Params, x, cos, sin, pad_mask, cfg: TextConfig):
     b, s, d = x.shape
     h, hk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     xn = rms_norm(x, p["input_ln"]["scale"], cfg.rms_eps)
-    q = linear(p["attn"]["q"], xn).reshape(b, s, h, hd)
-    k = linear(p["attn"]["k"], xn).reshape(b, s, hk, hd)
-    v = linear(p["attn"]["v"], xn).reshape(b, s, hk, hd)
+    # linear_multi: ONE shared activation quantization across q/k/v under
+    # W8A8 serving (quantize_vlm="w8a8"); bitwise == per-head linear
+    q, k, v = linear_multi((p["attn"]["q"], p["attn"]["k"], p["attn"]["v"]), xn)
+    q = q.reshape(b, s, h, hd)
+    k = k.reshape(b, s, hk, hd)
+    v = v.reshape(b, s, hk, hd)
     q = apply_rope_halves(q.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
     k = apply_rope_halves(k.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
     attn = dot_product_attention(q, k, v, causal=True, pad_mask=pad_mask)
     x = x + linear(p["attn"]["o"], attn.reshape(b, s, h * hd))
     xn = rms_norm(x, p["post_ln"]["scale"], cfg.rms_eps)
-    mlp = linear(
-        p["mlp"]["down"],
-        jax.nn.silu(linear(p["mlp"]["gate"], xn)) * linear(p["mlp"]["up"], xn),
-    )
+    gate, up = linear_multi((p["mlp"]["gate"], p["mlp"]["up"]), xn)
+    mlp = linear(p["mlp"]["down"], jax.nn.silu(gate) * up)
     return x + mlp
 
 
@@ -122,9 +124,10 @@ def _layer_with_cache(p: Params, x, cos, sin, cache_k, cache_v, pad_mask, cfg: T
     b, s, d = x.shape
     h, hk, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     xn = rms_norm(x, p["input_ln"]["scale"], cfg.rms_eps)
-    q = linear(p["attn"]["q"], xn).reshape(b, s, h, hd)
-    k = linear(p["attn"]["k"], xn).reshape(b, s, hk, hd)
-    v = linear(p["attn"]["v"], xn).reshape(b, s, hk, hd)
+    q, k, v = linear_multi((p["attn"]["q"], p["attn"]["k"], p["attn"]["v"]), xn)
+    q = q.reshape(b, s, h, hd)
+    k = k.reshape(b, s, hk, hd)
+    v = v.reshape(b, s, hk, hd)
     q = apply_rope_halves(q.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
     k = apply_rope_halves(k.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
     return q, k, v
@@ -159,10 +162,8 @@ def prefill(
         h = cfg.num_heads
         x2 = x + linear(p["attn"]["o"], attn.reshape(b, s, h * hd))
         xn = rms_norm(x2, p["post_ln"]["scale"], cfg.rms_eps)
-        mlp = linear(
-            p["mlp"]["down"],
-            jax.nn.silu(linear(p["mlp"]["gate"], xn)) * linear(p["mlp"]["up"], xn),
-        )
+        gate, up = linear_multi((p["mlp"]["gate"], p["mlp"]["up"]), xn)
+        mlp = linear(p["mlp"]["down"], jax.nn.silu(gate) * up)
         return x2 + mlp, (k, v)
 
     x, kvs = jax.lax.scan(
@@ -201,10 +202,8 @@ def decode_step(
         attn = dot_product_attention(q, ck, cv, pad_mask=pad_mask)
         x2 = x + linear(p["attn"]["o"], attn.reshape(b, 1, h * hd))
         xn = rms_norm(x2, p["post_ln"]["scale"], cfg.rms_eps)
-        mlp = linear(
-            p["mlp"]["down"],
-            jax.nn.silu(linear(p["mlp"]["gate"], xn)) * linear(p["mlp"]["up"], xn),
-        )
+        gate, up = linear_multi((p["mlp"]["gate"], p["mlp"]["up"]), xn)
+        mlp = linear(p["mlp"]["down"], jax.nn.silu(gate) * up)
         return x2 + mlp, (ck, cv)
 
     x, (cache_k, cache_v) = jax.lax.scan(

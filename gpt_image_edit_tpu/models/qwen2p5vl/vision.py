@@ -26,6 +26,7 @@ from gpt_image_edit_tpu.models.common import (
     Params,
     linear,
     linear_init,
+    linear_multi,
     rms_weight_init,
 )
 from gpt_image_edit_tpu.models.qwen2p5vl.config import VisionConfig
@@ -193,10 +194,9 @@ def _block(p: Params, x, cos, sin, seg, cfg: VisionConfig):
     )[0].reshape(s, d)
     x = x + linear(p["attn"]["proj"], attn)
     xn = rms_norm(x, p["norm2"]["scale"], cfg.rms_eps)
-    mlp = linear(
-        p["mlp"]["down"],
-        jax.nn.silu(linear(p["mlp"]["gate"], xn)) * linear(p["mlp"]["up"], xn),
-    )
+    # shared activation quant across gate/up under W8A8 (bitwise == per-head)
+    gate, up = linear_multi((p["mlp"]["gate"], p["mlp"]["up"]), xn)
+    mlp = linear(p["mlp"]["down"], jax.nn.silu(gate) * up)
     return x + mlp
 
 
