@@ -129,7 +129,7 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--port", type=int, default=7860)
     ap.add_argument("--quantize", default=None,
-                    choices=[None, "int8", "w8a8", "w8a8-attn", "w8a8-qk8"],
+                    choices=[None, "int8", "int4", "w8a8", "w8a8-attn", "w8a8-qk8"],
                     help="int8 weight-only / W8A8 int8-MXU serving "
                          "(the reference's NF4 option, ref:app.py:129-176)")
     ap.add_argument("--offload", action="store_true",

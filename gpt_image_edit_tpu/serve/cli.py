@@ -38,7 +38,7 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--understand", action="store_true", help="text answer instead of edit")
     p.add_argument("--quantize", type=str, default=None,
-                   choices=[None, "int8", "w8a8", "w8a8-attn", "w8a8-qk8"],
+                   choices=[None, "int8", "int4", "w8a8", "w8a8-attn", "w8a8-qk8"],
                    help="denoiser quantization: int8 = weight-only (fits 12B "
                         "FLUX on one 16GB chip), w8a8 = int8 MXU matmuls "
                         "(~25%% faster serving), w8a8-qk8 = + int8 QK^T in "

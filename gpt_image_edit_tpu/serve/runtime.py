@@ -123,12 +123,17 @@ class UnivaRuntime:
 
             vae_params = cast_floating(vae_params, jnp.bfloat16)
 
-        if quantize in ("int8", "w8a8", "w8a8-attn", "w8a8-qk8"):
+        if quantize in ("int8", "int4", "w8a8", "w8a8-attn", "w8a8-qk8"):
             from gpt_image_edit_tpu.utils.quantize import quantize_params
 
-            mode = "weight_only" if quantize == "int8" else "w8a8"
-            log.info("quantizing FLUX weights to int8 (%s)", mode)
-            flux_params = quantize_params(flux_params, mode=mode)
+            mode = {"int8": "weight_only", "int4": "int4"}.get(quantize, "w8a8")
+            log.info("quantizing FLUX weights (%s)", mode)
+            # tiny demo kernels are all below the production min_size; lower
+            # it so --quantize actually exercises the quantized path there
+            flux_params = quantize_params(
+                flux_params, mode=mode,
+                min_size=1024 if (tiny or not model_path) else (1 << 20),
+            )
             if quantize == "w8a8-attn":
                 # EXPERIMENTAL: full int8 Pallas attention kernel. Measured
                 # SLOWER than the bf16 kernel on v5e (1174 vs 1049 ms/step
@@ -146,7 +151,7 @@ class UnivaRuntime:
         elif quantize:
             raise ValueError(
                 f"unknown quantize mode {quantize!r} "
-                "(int8 | w8a8 | w8a8-attn | w8a8-qk8)"
+                "(int8 | int4 | w8a8 | w8a8-attn | w8a8-qk8)"
             )
 
         if quantize_vlm:

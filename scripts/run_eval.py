@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--guidance", type=float, default=3.5)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--quantize", default=None,
-                    choices=[None, "int8", "w8a8", "w8a8-attn", "w8a8-qk8"])
+                    choices=[None, "int8", "int4", "w8a8", "w8a8-attn", "w8a8-qk8"])
     ap.add_argument("--quantize_vlm", nargs="?", const="int8", default=None,
                     choices=["int8", "w8a8"])
     ap.add_argument("--vae_dtype", default="bfloat16",

@@ -126,6 +126,71 @@ class TestQuantize:
         assert rel_qk8 < 0.03, rel_qk8
 
 
+class TestInt4:
+    """4-bit weight-only with 64-input-group scales — the parity mode for
+    the reference's NF4 serving (ref:app.py:129-176); 2 weights/byte."""
+
+    def test_roundtrip_error(self):
+        k = jax.random.normal(jax.random.key(0), (128, 96))
+        qk = quantize_kernel(k, mode="int4")
+        assert qk["q4"].shape == (64, 96) and qk["q4"].dtype == jnp.uint8
+        assert qk["scale4"].shape == (2, 1, 96)
+        back = dequantize_kernel(qk, jnp.float32)
+        # int4 grouped: |err| <= scale/2 = groupmax/14 per element
+        groupmax = jnp.max(jnp.abs(k.reshape(2, 64, 96)), axis=1, keepdims=True)
+        err = jnp.abs(back - k.astype(jnp.float32)).reshape(2, 64, 96)
+        assert float(jnp.max(err / jnp.maximum(groupmax, 1e-6))) <= 0.5 / 7 + 1e-6
+
+    def test_exact_on_grid(self):
+        """Values already on the int4 grid survive the roundtrip exactly."""
+        scale = 0.25
+        grid = jnp.arange(-7, 8, dtype=jnp.float32) * scale
+        k = jnp.tile(grid[:, None], (1, 8))           # (15, 8)
+        k = jnp.concatenate([k, jnp.zeros((49, 8))])  # pad to 64 rows
+        qk = quantize_kernel(k, mode="int4")
+        back = dequantize_kernel(qk, jnp.float32)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(k), atol=1e-6)
+
+    def test_stacked_kernel(self):
+        k = jax.random.normal(jax.random.key(1), (3, 128, 32))
+        qk = quantize_kernel(k, mode="int4")
+        assert qk["q4"].shape == (3, 64, 32)
+        assert qk["scale4"].shape == (3, 2, 1, 32)
+        back = dequantize_kernel(qk, jnp.float32)
+        assert back.shape == k.shape
+
+    def test_linear_dispatch(self):
+        k = jax.random.normal(jax.random.key(2), (128, 48))
+        p = {"kernel": k, "bias": jnp.ones((48,))}
+        pq = {"kernel": quantize_kernel(k, mode="int4"), "bias": p["bias"]}
+        x = jax.random.normal(jax.random.key(3), (4, 128))
+        ref = linear(p, x)
+        out = linear(pq, x)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        # iid-normal weights are the worst case for a uniform 4-bit grid:
+        # err_std ~= (groupmax/7)/sqrt(12) ~= 0.13 sigma_w -> ~11-13% rel on
+        # the matmul output (the reference's NF4 has the same order; it's a
+        # memory mode, not a fidelity mode)
+        assert rel < 0.15, rel
+
+    def test_quantize_params_int4_fallback(self):
+        """Kernels whose in_features isn't a multiple of 64 degrade to int8
+        instead of crashing (tiny configs, patch embeds)."""
+        params = {
+            "big": {"kernel": jax.random.normal(jax.random.key(0), (128, 64))},
+            "odd": {"kernel": jax.random.normal(jax.random.key(1), (96, 64))},
+        }
+        q = quantize_params(params, min_size=1024, mode="int4")
+        assert "q4" in q["big"]["kernel"]
+        assert "q" in q["odd"]["kernel"]  # int8 fallback
+
+    def test_memory_halves_vs_int8(self):
+        k = jax.random.normal(jax.random.key(4), (1024, 1024))
+        n8 = params_nbytes({"k": quantize_kernel(k)})
+        n4 = params_nbytes({"k": quantize_kernel(k, mode="int4")})
+        assert n4 < 0.6 * n8  # packed nibbles + small grouped scales
+
+
 class TestSharedQuantHelpers:
     """linear_multi (shared activation quant) and linear_concat (split
     concat matmul) — the W8A8 serving-step HBM-traffic fixes."""

@@ -250,6 +250,22 @@ class TestQuantizedVlm:
         with pytest.raises(ValueError):
             UnivaRuntime(tiny=True, quantize_vlm="nf4")
 
+    def test_int4_serving_mode(self):
+        """--quantize int4 (the reference's NF4 4-bit memory mode): q4
+        kernels reach the denoiser and an edit completes."""
+        rt = UnivaRuntime(tiny=True, quantize="int4")
+
+        def has_q4(node):
+            if isinstance(node, dict):
+                return "q4" in node or any(has_q4(v) for v in node.values())
+            if isinstance(node, list):
+                return any(has_q4(v) for v in node)
+            return False
+
+        assert has_q4(rt.pipe.flux_params)
+        img = rt.edit("make it night", _img(5), steps=2, seed=0)
+        assert img is not None
+
 
 class TestOffload:
     """offload=True = the reference's --offload/enable_model_cpu_offload
