@@ -272,15 +272,26 @@ def _sync(jnp, x) -> float:
 
 
 def _int8_shape_params(jax, jnp, abstract, qkey="q", min_elems=1 << 22):
-    """Shape-only param tree with big kernels as int8 quantized subtrees
-    (building a bf16 tree first would OOM the chip at full depth)."""
+    """Shape-only param tree with big kernels as quantized subtrees
+    (building a bf16 tree first would OOM the chip at full depth).
+    qkey "q"/"q_w8a8" = int8; "q4" = packed int4 with 64-group scales."""
     flat, _ = jax.tree_util.tree_flatten_with_path(abstract)
     leaves = []
     for kp, s in flat:
         path = "/".join(str(getattr(k, "key", k)) for k in kp)
         if path.endswith("kernel") and len(s.shape) >= 2 and np.prod(s.shape) >= min_elems:
+            d_in, d_out = s.shape[-2], s.shape[-1]
+            if qkey == "q4" and d_in % 64 == 0:
+                leaves.append({
+                    "q4": jnp.ones(s.shape[:-2] + (d_in // 2, d_out), jnp.uint8),
+                    "scale4": jnp.full(
+                        s.shape[:-2] + (d_in // 64, 1, d_out), 0.01, jnp.float32
+                    ),
+                })
+                continue
+            k8 = "q" if qkey == "q4" else qkey
             leaves.append({
-                qkey: jnp.ones(s.shape, jnp.int8),
+                k8: jnp.ones(s.shape, jnp.int8),
                 "scale": jnp.full(s.shape[:-2] + (1, s.shape[-1]), 0.01, jnp.float32),
             })
         else:
@@ -522,6 +533,8 @@ def phase_scan() -> dict:
                 tok = tok.strip()
                 if tok == "int8":
                     variants.append(("q", "int8 weight-only", "auto", True, 1))
+                elif tok == "int4":
+                    variants.append(("q4", "int4 weight-only", "auto", True, 1))
                 elif tok == "w8a8":
                     variants.append(("q_w8a8", "W8A8", "auto", True, 1))
                 elif tok == "w8a8_unrolled":
