@@ -74,13 +74,20 @@ def sd3_denoise_scan(
 class SD3Pipeline:
     """Minimal SD3 text-to-image pipeline over our VAE + SD3 MMDiT."""
 
-    def __init__(self, sd3_params, sd3_cfg: SD3Config, vae_params, vae_cfg):
+    def __init__(self, sd3_params, sd3_cfg: SD3Config, vae_params, vae_cfg,
+                 offload: bool = False):
+        """`offload`: same pinned_host sequential offload as KontextPipeline
+        (the reference's enable_model_cpu_offload, ref:app.py:177-178)."""
         from gpt_image_edit_tpu.models.vae import decode_from_scaled_latents
+        from gpt_image_edit_tpu.utils.offload import ComponentStore
 
-        self.params = sd3_params
         self.cfg = sd3_cfg
+        self._store = ComponentStore(enabled=offload)
+        self.offload = offload
+        self.params = self._store.add("sd3", sd3_params)
+        self.vae_params = self._store.add("vae", vae_params)
         self._decode = jax.jit(
-            lambda z: decode_from_scaled_latents(vae_params, vae_cfg, z)
+            lambda p, z: decode_from_scaled_latents(p, vae_cfg, z)
         )
         self.vae_cfg = vae_cfg
 
@@ -108,7 +115,7 @@ class SD3Pipeline:
         neg_pooled = tuple(negative_pooled_prompt_embeds or ())
         scales = tuple(guidance_scales or ())
         out = sd3_denoise_scan(
-            self.params, self.cfg,
+            self._store.stage("sd3"), self.cfg,
             latents=lat,
             prompt_embeds=prompt_embeds,
             pooled_embeds=pooled_prompt_embeds,
@@ -119,6 +126,14 @@ class SD3Pipeline:
             cfg_scales=scales,
             n_neg=len(negs),
         )
+        if self.offload:
+            from gpt_image_edit_tpu.utils.offload import sync as _sync
+
+            _sync(out)             # scan consumers done -> sd3 freeable
+            self._store.evict("sd3")
         if output_type == "latent":
             return out
-        return self._decode(out.astype(jnp.float32))
+        img = self._decode(self._store.stage("vae"), out.astype(jnp.float32))
+        if self.offload:
+            self._store.evict("vae")
+        return img

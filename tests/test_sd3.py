@@ -87,6 +87,31 @@ class TestSD3:
         sig = sd3_sigmas(28)
         assert sig[0] == 1.0 and sig[-1] == 0.0 and (np.diff(sig) < 0).all()
 
+    def test_pipeline_offload_matches(self):
+        """SD3Pipeline(offload=True): pinned_host parking + per-stage
+        staging, bit-identical output, idle = zero HBM copies."""
+        import jax as _jax
+
+        from gpt_image_edit_tpu.models.vae import VaeConfig, init_vae
+        from gpt_image_edit_tpu.pipeline.sd3 import SD3Pipeline
+
+        cfg = SD3Config.tiny()
+        vcfg = VaeConfig.tiny()
+        sd3_p = init_sd3(jax.random.key(0), cfg)
+        vae_p = init_vae(jax.random.key(1), vcfg)
+        kw = dict(
+            prompt_embeds=jnp.zeros((1, 5, cfg.joint_attention_dim)),
+            pooled_prompt_embeds=jnp.zeros((1, cfg.pooled_projection_dim)),
+            height=32, width=32, num_inference_steps=2,
+        )
+        ref = SD3Pipeline(sd3_p, cfg, vae_p, vcfg)(rng=jax.random.key(2), **kw)
+        off_pipe = SD3Pipeline(sd3_p, cfg, vae_p, vcfg, offload=True)
+        leaf = _jax.tree_util.tree_leaves(off_pipe.params)[0]
+        assert leaf.sharding.memory_kind == "pinned_host"
+        out = off_pipe(rng=jax.random.key(2), **kw)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        assert off_pipe._store.idle
+
     def test_converter_roundtrip_shapes(self):
         """Build a synthetic diffusers-named state dict and convert."""
         import torch
