@@ -82,14 +82,12 @@ def linear(p: Params, x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
         if "bias" in p:
             y = y + p["bias"].astype(x.dtype)
         return y
-    if isinstance(kernel, dict) and "q4" in kernel:
-        # int4 weight-only (the reference's NF4 memory mode): unpack nibbles
-        # + grouped dequant to bf16 at use
-        from gpt_image_edit_tpu.utils.quantize import dequantize_kernel_int4
+    if isinstance(kernel, dict):
+        # weight-only quantized (int8 'q' or packed-int4 'q4'): one shared
+        # dequant dispatch (utils.quantize owns the packing format)
+        from gpt_image_edit_tpu.utils.quantize import dequantize_kernel
 
-        kernel = dequantize_kernel_int4(kernel, x.dtype)
-    elif isinstance(kernel, dict):  # int8 weight-only quantized (utils.quantize)
-        kernel = (kernel["q"].astype(jnp.float32) * kernel["scale"]).astype(x.dtype)
+        kernel = dequantize_kernel(kernel, x.dtype)
     else:
         kernel = kernel.astype(x.dtype)
     y = jnp.dot(x, kernel, precision=precision)

@@ -353,6 +353,12 @@ class KontextPipeline:
             step_callback=step_callback,
         )
         if self.offload:
+            # barrier on the scan before staging the VAE: same co-residency
+            # hazard as the FLUX stage-in above (eviction only drops a ref;
+            # the in-flight scan still holds the FLUX HBM copy)
+            from gpt_image_edit_tpu.utils.offload import sync as _offload_sync
+
+            _offload_sync(final)
             self._evict("flux")
         if output_type == "latent":
             return final

@@ -122,6 +122,8 @@ class UnivaRuntime:
             from gpt_image_edit_tpu.models.common import cast_floating
 
             vae_params = cast_floating(vae_params, jnp.bfloat16)
+            if offload:  # re-park: eager cast outputs land in device memory
+                vae_params = jax.device_put(vae_params, self._store.placement)
 
         if quantize in ("int8", "int4", "w8a8", "w8a8-attn", "w8a8-qk8"):
             from gpt_image_edit_tpu.utils.quantize import quantize_params
@@ -129,10 +131,13 @@ class UnivaRuntime:
             mode = {"int8": "weight_only", "int4": "int4"}.get(quantize, "w8a8")
             log.info("quantizing FLUX weights (%s)", mode)
             # tiny demo kernels are all below the production min_size; lower
-            # it so --quantize actually exercises the quantized path there
+            # it so --quantize actually exercises the quantized path there.
+            # Under --offload, park each quantized subtree as it is built
+            # (place=) so the transient device footprint stays ~one kernel.
             flux_params = quantize_params(
                 flux_params, mode=mode,
                 min_size=1024 if (tiny or not model_path) else (1 << 20),
+                place=self._store.placement,
             )
             if quantize == "w8a8-attn":
                 # EXPERIMENTAL: full int8 Pallas attention kernel. Measured
@@ -173,7 +178,8 @@ class UnivaRuntime:
                 )
             log.info("quantizing VLM weights to int8 (%s)", vlm_mode)
             self.qwen_params = quantize_params(
-                self.qwen_params, mode=vlm_mode, min_size=1 << 20
+                self.qwen_params, mode=vlm_mode, min_size=1 << 20,
+                place=self._store.placement,
             )
         if unroll_blocks:
             self.fcfg = dataclasses.replace(self.fcfg, scan_blocks=False)
@@ -385,7 +391,12 @@ class UnivaRuntime:
         images = [image] if image is not None else []
         kwargs, _ = self._prepare_inputs(conversation, images)
         hidden = apply_qwen(self._qwen(), self.qcfg, output_type="hidden", **kwargs)
-        return bool(_route(self.task_head, hidden, np.asarray(kwargs["input_ids"]))[0])
+        verdict = bool(
+            _route(self.task_head, hidden, np.asarray(kwargs["input_ids"]))[0]
+        )
+        if self.offload:
+            self._evict_vlm()  # routing read the verdict (host bool): idle
+        return verdict
 
     def chat(self, message: str, image: Optional[Image.Image] = None, **kw):
         """One chat turn with automatic routing: returns (PIL image, None) or

@@ -87,6 +87,7 @@ def quantize_params(
     path_filter: Optional[Callable[[str], bool]] = None,
     mode: str = "weight_only",
     mode_for: Optional[Callable[[str], Optional[str]]] = None,
+    place=None,
 ) -> Any:
     """Quantize every 'kernel' leaf bigger than min_size elements. The tree
     keeps its structure; linear() transparently handles quantized kernels.
@@ -96,7 +97,12 @@ def quantize_params(
     scripts/quant_sensitivity.py sweeps with (every quantized kernel stays
     int8 in HBM; demoted ones run bf16 activations instead of the int8
     MXU). The sweep found NO demotions necessary at the current error
-    budget, so serving quantizes uniformly."""
+    budget, so serving quantizes uniformly.
+
+    `place` (optional jax.sharding.Sharding, e.g. pinned_host for --offload
+    serving): every output leaf/subtree is device_put there as it is built,
+    so the transient device-memory footprint of quantizing a host-parked
+    tree stays at ~one kernel instead of the whole quantized model."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     out = []
     for kp, leaf in flat:
@@ -116,9 +122,12 @@ def quantize_params(
                 # int4 grouping needs in_features % 64 == 0; odd-shaped
                 # kernels (tiny configs, patch embeds) degrade to int8
                 leaf_mode = "weight_only"
-            out.append(quantize_kernel(leaf, leaf_mode))
+            qk = quantize_kernel(leaf, leaf_mode)
+            out.append(jax.device_put(qk, place) if place is not None else qk)
         else:
-            out.append(leaf)
+            out.append(
+                jax.device_put(leaf, place) if place is not None else leaf
+            )
     # rebuild manually from key paths (a quantized leaf becomes a subtree)
     by_path = {}
     for (kp, leaf), o in zip(flat, out):
