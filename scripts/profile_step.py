@@ -4,9 +4,11 @@ op-class time breakdown (parsed from the captured xplane trace).
 
 Usage:
   python scripts/profile_step.py [w8a8|int8|bf16] [--depth ND NS]
+  python scripts/profile_step.py vlm [--vlm-quant int8|w8a8]   # 7B prefill
 
 Used to locate the non-2x parts of the W8A8 serving path (activation quant,
-scale muls, unquantized ops, bf16 attention) — VERDICT r1 item #2.
+scale muls, unquantized ops, bf16 attention) — VERDICT r1 item #2 — and the
+VLM-prefill share of the composed e2e edit latency (r2 item #2).
 """
 
 import dataclasses
@@ -66,10 +68,100 @@ def classify(name):
     return "other"
 
 
+def _report(rows, mode):
+    by_class = defaultdict(lambda: [0, 0])
+    for name, ps, cnt in rows:
+        c = classify(name)
+        by_class[c][0] += ps
+        by_class[c][1] += cnt
+    total = sum(v[0] for v in by_class.values())
+    print(f"\n== op-class breakdown ({mode}, total {total/1e9:.2f} ms on-device) ==")
+    for c, (ps, cnt) in sorted(by_class.items(), key=lambda kv: -kv[1][0]):
+        print(f"  {c:36s} {ps/1e9:9.2f} ms  {100*ps/max(total,1):5.1f}%  ({cnt} events)")
+    print("\n== top 25 ops ==")
+    for name, ps, cnt in sorted(rows, key=lambda r: -r[1])[:25]:
+        print(f"  {ps/1e9:8.2f} ms  x{cnt:4d}  {name[:110]}")
+
+
+def profile_vlm():
+    """Profile the 7B VLM denoise_embeds prefill (ViT 448^2 view + trunk at
+    the 1024-token serving bucket + MLP2) — the e2e path's second-largest
+    component after the denoise scan."""
+    import jax
+    import jax.numpy as jnp
+
+    quant = "int8"
+    if "--vlm-quant" in sys.argv:
+        quant = sys.argv[sys.argv.index("--vlm-quant") + 1]
+
+    from gpt_image_edit_tpu.models.qwen2p5vl import language, vision
+    from gpt_image_edit_tpu.models.qwen2p5vl.config import Qwen2p5VLConfig
+    from gpt_image_edit_tpu.models.qwen2p5vl.model import (
+        denoise_projector, init as init_vlm,
+    )
+    from gpt_image_edit_tpu.models.qwen2p5vl.vision import vision_precompute
+    from gpt_image_edit_tpu.utils.quantize import quantize_params
+
+    tiny = "--tiny" in sys.argv  # CPU smoke only
+    cfg = Qwen2p5VLConfig.tiny() if tiny else Qwen2p5VLConfig()
+    b, seq, grid = (1, 64, (1, 4, 4)) if tiny else (1, 1024, (1, 32, 32))
+    abstract = jax.eval_shape(lambda k: init_vlm(k, cfg), jax.random.key(0))
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.01, s.dtype), abstract
+    )
+    params = quantize_params(
+        params, mode={"int8": "weight_only"}.get(quant, quant),
+        min_size=1 << 20,
+    )
+    aux = vision_precompute(np.asarray([grid]), cfg.vision)
+    n_patches = grid[0] * grid[1] * grid[2]
+    patch_dim = (cfg.vision.in_channels * cfg.vision.temporal_patch_size
+                 * cfg.vision.patch_size ** 2)
+    pixels = jnp.full((n_patches, patch_dim), 0.01, jnp.bfloat16)
+    x_emb = jnp.full((b, seq, cfg.text.hidden_size), 0.01, jnp.bfloat16)
+    pos = jnp.broadcast_to(
+        jnp.arange(seq)[None, None], (3, b, seq)
+    ).astype(jnp.int32)
+
+    @jax.jit
+    def fwd(p, pixels, x):
+        img = vision.apply(p["visual"], cfg.vision, pixels, aux)
+        x = jax.lax.dynamic_update_slice(
+            x, img[None, :, :].astype(x.dtype), (0, 0, 0)
+        )
+        hidden = language.trunk(p["lm"], cfg.text, x, pos)
+        return denoise_projector(p["projector"], hidden)
+
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    t0 = time.time()
+    o = fwd(params, pixels, x_emb)
+    sync(o)
+    print(f"[vlm/{quant}] compile+run: {time.time()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    reps = 8
+    for _ in range(reps):
+        x_emb = (x_emb * (1.0 + 0.0 * jnp.mean(o.astype(jnp.float32)))).astype(
+            x_emb.dtype
+        )
+        o = fwd(params, pixels, x_emb)
+    sync(o)
+    print(f"[vlm/{quant}] prefill: {(time.perf_counter()-t0)/reps*1000:.1f} ms",
+          flush=True)
+    logdir = tempfile.mkdtemp(prefix="prof_vlm_")
+    with jax.profiler.trace(logdir):
+        o = fwd(params, pixels, x_emb)
+        sync(o)
+    _report(parse_xplane(logdir), f"vlm/{quant}")
+
+
 def main():
     from gpt_image_edit_tpu.utils.platform import apply_platform_env
     apply_platform_env()  # honor JAX_PLATFORMS before first jax use
     mode = sys.argv[1] if len(sys.argv) > 1 else "w8a8"
+    if mode == "vlm":
+        return profile_vlm()
     nd, ns = 19, 38
     if "--depth" in sys.argv:
         i = sys.argv.index("--depth")
@@ -169,19 +261,7 @@ def main():
     with jax.profiler.trace(logdir):
         o = step(params, latents)
         sync(o)
-    rows = parse_xplane(logdir)
-    by_class = defaultdict(lambda: [0, 0])
-    for name, ps, cnt in rows:
-        c = classify(name)
-        by_class[c][0] += ps
-        by_class[c][1] += cnt
-    total = sum(v[0] for v in by_class.values())
-    print(f"\n== op-class breakdown ({mode}, total {total/1e9:.2f} ms on-device) ==")
-    for c, (ps, cnt) in sorted(by_class.items(), key=lambda kv: -kv[1][0]):
-        print(f"  {c:36s} {ps/1e9:9.2f} ms  {100*ps/max(total,1):5.1f}%  ({cnt} events)")
-    print("\n== top 25 ops ==")
-    for name, ps, cnt in sorted(rows, key=lambda r: -r[1])[:25]:
-        print(f"  {ps/1e9:8.2f} ms  x{cnt:4d}  {name[:110]}")
+    _report(parse_xplane(logdir), mode)
 
 
 if __name__ == "__main__":
