@@ -109,10 +109,11 @@ class ModelConfig:
     # memory, full re-forward) | "dots" (save matmul outputs; bwd recompute
     # is elementwise-only — spend spare HBM on MFU)
     remat_policy: str = "nothing"
-    # int8 weight-only quantization of the FROZEN subtree (VLM trunk etc.):
-    # halves frozen-weight HBM so wider batches fit on 16GB chips; gradients
-    # still flow through activations (dequant happens inside linear()).
-    quantize_frozen: bool = False
+    # Quantization of the FROZEN subtree (VLM trunk etc.): True or "int8" =
+    # weight-only int8 (halves frozen-weight HBM so wider batches fit on
+    # 16GB chips); "int4" = packed 4-bit with 64-group scales (quarter).
+    # Gradients still flow through activations (dequant inside linear()).
+    quantize_frozen: "bool | str" = False
 
 
 @dataclasses.dataclass

@@ -241,13 +241,14 @@ def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str,
     tx, mask = build_optimizer(params, tc, mc, fcfg.num_layers, fcfg.num_single_layers)
     state, frozen = init_train_state(params, mask, tx)
     if mc.quantize_frozen:
-        # int8 weight-only frozen subtree: halves the frozen VLM's HBM
-        # footprint (the 78GB/GPU stage-2 pressure, BASELINE.md); activations
-        # still differentiate through the dequantized matmul.
+        # int8/int4 weight-only frozen subtree: halves/quarters the frozen
+        # VLM's HBM footprint (the 78GB/GPU stage-2 pressure, BASELINE.md);
+        # activations still differentiate through the dequantized matmul.
         from gpt_image_edit_tpu.utils.quantize import quantize_params
 
-        frozen = quantize_params(frozen, mode="weight_only")
-        log.info("frozen subtree quantized to int8 weight-only")
+        fmode = "int4" if mc.quantize_frozen == "int4" else "weight_only"
+        frozen = quantize_params(frozen, mode=fmode)
+        log.info("frozen subtree quantized (%s weight-only)", fmode)
     ema = init_ema(state["train"]) if tc.ema_decay else None
 
     manager = ckpt.make_manager(tc.output_dir, tc.checkpoints_total_limit)

@@ -70,6 +70,17 @@ def test_train_quantized_frozen(tmp_path):
     assert len(rows) >= 2 and "lr" in rows[0] and "train_loss" in rows[0]
 
 
+def test_train_int4_frozen(tmp_path):
+    """quantize_frozen='int4': packed 4-bit frozen subtree (quarter HBM);
+    grads flow through the dequantized matmuls, loss finite."""
+    cfg = _cfg(tmp_path, model_config={
+        "tiny": True, "with_tune_mlp2": True, "quantize_frozen": "int4",
+    })
+    metrics = train(cfg)
+    assert metrics["final_step"] == 2
+    assert np.isfinite(metrics["loss"])
+
+
 def test_train_ema_validation_and_export(tmp_path):
     """EMA maintained, validated-with, and exported HF-format
     (ref:train_denoiser.py:489-509 model_ema save hook)."""
