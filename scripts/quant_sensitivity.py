@@ -157,6 +157,34 @@ def main():
             print(f"  -> under 1% with {k} demoted group(s)")
             break
 
+    if "--int4" in sys.argv:
+        # int4 memory mode: rank per-group 4-bit sensitivity and find the
+        # smallest promotion set (worst groups back to int8) that pulls the
+        # e2e error toward the int8 level at near-int4 memory
+        print("\n-- int4 sensitivity (one group int4, rest weight-only int8) --")
+        measure(lambda s: "int4", "all int4")
+        sens4 = {}
+        for name in GROUPS:
+            rel, mae = measure(
+                lambda s, n=name: "int4" if group_of(s) == n else "weight_only",
+                f"only {name} int4",
+            )
+            sens4[name] = rel
+        ranked4 = sorted(sens4, key=sens4.get, reverse=True)
+        print("int4 sensitivity ranking:", ranked4)
+        print("\n-- promotion candidates (group -> int8, rest int4) --")
+        for k in range(1, len(ranked4) + 1):
+            promote = set(ranked4[:k])
+            rel, mae = measure(
+                lambda s, d=promote: (
+                    "weight_only" if group_of(s) in d else "int4"
+                ),
+                f"promote {'+'.join(sorted(promote))}",
+            )
+            if mae < 0.005:
+                print(f"  -> under 0.5% px MAE with {k} promoted group(s)")
+                break
+
 
 if __name__ == "__main__":
     main()

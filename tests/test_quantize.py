@@ -397,10 +397,13 @@ class TestServingFidelityBudget:
         assert mae32 < 0.01, mae32
 
     def test_int4_e2e_measured(self):
-        """int4 is the NF4-analogue MEMORY mode, explicitly outside the <=1%
-        headline budget (the reference's NF4 serving is likewise lossy).
-        This records its tiny-e2e error with a loose sanity bound so a
-        packing/scale bug (order-of-magnitude blowup) still fails."""
+        """int4 NF4-analogue memory mode, WORST-CASE configuration: this
+        quantizes EVERY kernel (min_size=0), including x_embedder/proj_out
+        which production never quantizes. With the production >=1M-element
+        set, int4 measures 0.241% px MAE vs fp32 == the bf16 floor
+        (scripts/quant_sensitivity.py --int4); the 0.72%-vs-bf16 figure
+        below is the all-kernels stress bound, kept as a packing/scale
+        regression canary."""
         cfg32, cfg_srv, params32, scan, decode = self._scan_setup()
         pbf = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params32)
         ref_bf = scan(pbf, cfg_srv, jnp.bfloat16).astype(jnp.float32)
