@@ -121,8 +121,9 @@ def build_demo(runtime, default_steps=28, default_guidance=3.5, watermark=None):
 
 
 def main():
-    from gpt_image_edit_tpu.utils.platform import apply_platform_env
+    from gpt_image_edit_tpu.utils.platform import apply_platform_env, enable_compile_cache
     apply_platform_env()  # honor JAX_PLATFORMS before first jax use
+    enable_compile_cache()  # warm restarts: persist XLA executables
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_path", default=None)
     ap.add_argument("--flux_path", default=None)

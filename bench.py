@@ -246,16 +246,11 @@ def supervise() -> int:
 # --------------------------------------------------------------------------
 
 def _child_jax():
-    from gpt_image_edit_tpu.utils.platform import apply_platform_env
+    from gpt_image_edit_tpu.utils.platform import apply_platform_env, enable_compile_cache
     apply_platform_env()
     import jax
 
-    cache_dir = os.path.join(REPO, ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
+    enable_compile_cache(os.path.join(REPO, ".jax_cache"))
     return jax
 
 

@@ -67,8 +67,9 @@ def build_parser():
 
 
 def main(argv=None):
-    from gpt_image_edit_tpu.utils.platform import apply_platform_env
+    from gpt_image_edit_tpu.utils.platform import apply_platform_env, enable_compile_cache
     apply_platform_env()  # honor JAX_PLATFORMS before first jax use
+    enable_compile_cache()  # warm restarts: persist XLA executables
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     args = build_parser().parse_args(argv)
     rt = UnivaRuntime(

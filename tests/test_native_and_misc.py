@@ -1,6 +1,7 @@
 """Native C++ image-prep parity, Step1X tokenizer, anyres, embedding resize,
 task head routing."""
 
+import os
 import numpy as np
 import pytest
 from PIL import Image
@@ -117,3 +118,25 @@ class TestTaskHead:
         ids = np.array([[1, 2, 77091, 4, 5], [1, 2, 3, 4, 5]])
         out = route(head, hidden, ids)
         assert out.shape == (2,) and out.dtype == bool
+
+
+class TestCompileCache:
+    def test_enable_compile_cache_sets_config(self, tmp_path):
+        import jax
+
+        from gpt_image_edit_tpu.utils.platform import enable_compile_cache
+
+        d = str(tmp_path / "xla_cache")
+        enable_compile_cache(d)
+        assert jax.config.jax_compilation_cache_dir == d
+        assert os.path.isdir(d)
+
+    def test_env_var_dir(self, tmp_path, monkeypatch):
+        import jax
+
+        from gpt_image_edit_tpu.utils.platform import enable_compile_cache
+
+        d = str(tmp_path / "env_cache")
+        monkeypatch.setenv("GIE_COMPILE_CACHE", d)
+        enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == d

@@ -31,8 +31,9 @@ def _parse_overrides(args):
 
 
 def main():
-    from gpt_image_edit_tpu.utils.platform import apply_platform_env
+    from gpt_image_edit_tpu.utils.platform import apply_platform_env, enable_compile_cache
     apply_platform_env()  # honor JAX_PLATFORMS before first jax use
+    enable_compile_cache()  # warm restarts: persist XLA executables
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     # Multi-host coordination must happen before ANY other jax use
     # (the NCCL init analogue, ref:train_denoiser.py:324 Accelerator()).
