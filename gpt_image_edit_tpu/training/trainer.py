@@ -69,7 +69,15 @@ def build_models(cfg: TrainDenoiseConfig):
     return qcfg, fcfg, vcfg, {"qwen": qwen, "flux": flux}, vae_params
 
 
-def data_iterator(cfg: TrainDenoiseConfig, qcfg, vcfg=None) -> Iterator[Dict[str, Any]]:
+def data_iterator(
+    cfg: TrainDenoiseConfig, qcfg, vcfg=None, *, seed_offset: int = 0
+) -> Iterator[Dict[str, Any]]:
+    """``seed_offset`` reseeds the SHUFFLE stream only (sample content stays
+    keyed to the dataset seed). The trainer passes the resume step here so a
+    resumed run draws a fresh epoch permutation instead of replaying the
+    epoch head it already trained on — the reference replays (accelerate
+    load_state restores no sampler state and no skip_first_batches is used,
+    ref:train_denoiser.py:768-770)."""
     dc = cfg.dataset_config
     tok = load_tokenizer(
         "fake" if (dc.random_data or cfg.model_config.tiny)
@@ -103,7 +111,7 @@ def data_iterator(cfg: TrainDenoiseConfig, qcfg, vcfg=None) -> Iterator[Dict[str
         ds, coll,
         batch_size=dc.batch_size,
         num_workers=dc.num_workers,
-        seed=cfg.training_config.seed,
+        seed=cfg.training_config.seed + seed_offset,
     )
     yield from loader
 
@@ -225,7 +233,11 @@ def export_ema_hf(cfg, ema, frozen, qcfg, fcfg, step):
     log.info("EMA HF export at step %d -> %s", step, out)
 
 
-def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str, Any]:
+def train(
+    cfg: TrainDenoiseConfig,
+    max_steps: Optional[int] = None,
+    preemption_guard=None,
+) -> Dict[str, Any]:
     tc = cfg.training_config
     mc = cfg.model_config
     max_steps = max_steps or tc.max_train_steps
@@ -303,7 +315,7 @@ def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str,
 
     t5_rng = _random.Random(tc.seed)
 
-    it = data_iterator(cfg, qcfg, vcfg)
+    it = data_iterator(cfg, qcfg, vcfg, seed_offset=start_step)
     rng = jax.random.key(tc.seed)
     metrics_out: Dict[str, Any] = {}
     from gpt_image_edit_tpu.training.metrics import MetricsLogger, prodigy_d
@@ -318,7 +330,11 @@ def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str,
 
     t0 = time.time()
     pending = []  # (step, device-metrics) awaiting fetch
-    with jax.sharding.set_mesh(mesh):  # set_mesh: ring attention (attention_impl="ring") resolves the ambient mesh from this context
+    completed = start_step
+    from gpt_image_edit_tpu.training.preemption import PreemptionGuard
+
+    guard = preemption_guard if preemption_guard is not None else PreemptionGuard()
+    with guard, jax.sharding.set_mesh(mesh):  # set_mesh: ring attention (attention_impl="ring") resolves the ambient mesh from this context
         for step in range(start_step, max_steps):
             host_batch = next(it)
             instructions = host_batch.pop("instructions", None)
@@ -395,6 +411,19 @@ def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str,
                 except Exception as e:  # validation must never kill training
                     log.warning("validation failed at step %d: %s", step + 1, e)
 
+            completed = step + 1
+            if guard.triggered:
+                # SIGTERM (preemptible-slice eviction notice): the in-flight
+                # step finished above — persist it unless the periodic save
+                # just did, then exit cleanly for resume_from_checkpoint.
+                if (step + 1) % tc.checkpointing_steps != 0:
+                    ckpt.save(manager, step + 1, {"state": state, "ema": ema})
+                log.warning(
+                    "preemption: checkpoint at step %d written, exiting", step + 1
+                )
+                metrics_out["preempted_at"] = step + 1
+                break
+
     # flush metrics recorded after the last logging-interval boundary
     for s, m in pending:
         mlog.log(s, {
@@ -407,5 +436,5 @@ def train(cfg: TrainDenoiseConfig, max_steps: Optional[int] = None) -> Dict[str,
         jax.profiler.stop_trace()
     mlog.close()
     manager.wait_until_finished()
-    metrics_out["final_step"] = max_steps
+    metrics_out["final_step"] = completed if completed > start_step else max_steps
     return metrics_out

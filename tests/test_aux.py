@@ -104,3 +104,49 @@ class TestLvlmConfigStub:
         assert cfg.dataset_config.data_txt == "d.txt"
         assert cfg.model_config.train_llm is False
         assert cfg.model_config.train_lm_head is True
+
+
+def test_batch_loader_seed_changes_order():
+    """No-replay resume: the trainer reseeds the shuffle stream with
+    seed+start_step, so resumed training must draw a different epoch
+    permutation than the fresh run (the reference replays the epoch head,
+    ref:train_denoiser.py:768-770 — no sampler state, no skip_first_batches)."""
+
+    class IndexDataset:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            import numpy as np
+            return {"target_pixels": np.full((4, 4, 3), i, np.float32), "idx": i}
+
+    from gpt_image_edit_tpu.data.loader import BatchLoader
+
+    def first_ids(seed):
+        loader = BatchLoader(
+            IndexDataset(), lambda samples: [s["idx"] for s in samples],
+            batch_size=8, num_workers=2, seed=seed,
+        )
+        it = iter(loader)
+        out = next(it) + next(it)
+        loader.stop()
+        return out
+
+    assert first_ids(0) == first_ids(0)          # deterministic
+    assert first_ids(0) != first_ids(3)          # reseed -> new permutation
+
+
+def test_preemption_guard_signal():
+    """First SIGTERM only sets the flag (the step in flight survives)."""
+    import signal
+
+    from gpt_image_edit_tpu.training.preemption import PreemptionGuard
+
+    with PreemptionGuard() as g:
+        assert not g.triggered
+        signal.raise_signal(signal.SIGTERM)
+        assert g.triggered
+    # handler restored on exit
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL or callable(
+        signal.getsignal(signal.SIGTERM)
+    )

@@ -136,3 +136,31 @@ def test_train_context_parallel(tmp_path):
     metrics = train(cfg)
     assert metrics["final_step"] == 2
     assert np.isfinite(metrics["loss"])
+
+
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-run: the in-flight step finishes, a checkpoint is written
+    even off the periodic schedule, train() returns cleanly, and
+    resume_from_checkpoint continues from the preempted step."""
+    from gpt_image_edit_tpu.training.preemption import PreemptionGuard
+
+    guard = PreemptionGuard()
+    guard.request_stop()  # "signal" arrives before step 1 completes
+    cfg = _cfg(tmp_path, training_config={
+        "output_dir": str(tmp_path / "ckpt"),
+        "max_train_steps": 5, "checkpointing_steps": 50,
+        "validation_steps": 0, "logging_steps": 1, "mask_weight_type": "log",
+    })
+    metrics = train(cfg, preemption_guard=guard)
+    assert metrics["preempted_at"] == 1
+    assert metrics["final_step"] == 1
+
+    cfg2 = _cfg(tmp_path, training_config={
+        "output_dir": str(tmp_path / "ckpt"),
+        "max_train_steps": 2, "checkpointing_steps": 50,
+        "resume_from_checkpoint": "latest",
+        "validation_steps": 0, "logging_steps": 1, "mask_weight_type": "log",
+    })
+    metrics2 = train(cfg2)
+    assert metrics2["final_step"] == 2
+    assert np.isfinite(metrics2["loss"])
