@@ -182,6 +182,17 @@ def _assemble(scan: dict, e2e: dict | None, train: dict | None) -> dict:
     }
 
 
+def _usable_scan(res: dict | None) -> bool:
+    """A scan result is emit-worthy only with a measured row or a finite fit.
+    (A child killed after a single depth row leaves a partial with
+    measured={} and a NaN fit — emitting NaN to the driver would be worse
+    than falling back to the cache.)"""
+    if not res:
+        return False
+    fit = res.get("fit_img_s")
+    return bool(res.get("measured")) or (isinstance(fit, float) and fit == fit)
+
+
 def supervise() -> int:
     plat = os.environ.get("JAX_PLATFORMS", "")
     if plat.startswith("cpu"):
@@ -211,8 +222,10 @@ def supervise() -> int:
         return 1
 
     scan = _run_phase_subprocess("scan", timeout_s=45 * 60)
-    if scan is None and wait_for_tpu(max_wait_s=480.0):
+    if not _usable_scan(scan) and wait_for_tpu(max_wait_s=480.0):
         scan = _run_phase_subprocess("scan", timeout_s=45 * 60)
+    if not _usable_scan(scan):
+        scan = None
 
     e2e = train = None
     if scan is not None:

@@ -127,3 +127,25 @@ def test_bench_cached_emit_when_tunnel_down(tmp_path):
     assert set(out) == {"metric", "value", "unit", "vs_baseline"}
     assert out["metric"].startswith("[CACHED")
     assert out["value"] > 0
+
+
+def test_bench_usable_scan_guard():
+    """A partial scan result with no measured row and a NaN fit (child killed
+    after one depth row) must NOT be emitted — the supervisor falls back to
+    the cache instead of printing value=NaN to the driver."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(repo, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    assert not bench._usable_scan(None)
+    assert not bench._usable_scan({"rows": [[2, 4, 1.0]], "measured": {},
+                                   "fit_img_s": float("nan")})
+    assert bench._usable_scan({"rows": [], "measured": {"W8A8": 23.2},
+                               "fit_img_s": float("nan")})
+    assert bench._usable_scan({"rows": [[2, 4, 1.0], [4, 8, 1.9]],
+                               "measured": {}, "fit_img_s": 0.03})
