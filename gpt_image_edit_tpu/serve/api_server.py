@@ -1,0 +1,402 @@
+"""Production HTTP serving API (stdlib-only, JSON + base64 images).
+
+The reference exposes its model through a Gradio demo and an
+interactive CLI (ref:app.py, ref:univa/serve/cli.py,
+ref:univa/serve/gradio_web_server.py) — human front-ends. A deployment
+also needs a machine front-end; this module provides one with zero
+dependencies beyond the standard library:
+
+  GET  /healthz    liveness + device backend + queue depth
+  GET  /v1/stats   scheduler counters (served/failed/rejected, p50/p95)
+  POST /v1/edit    {"instruction": str, "image"|"images": b64, "steps",
+                    "guidance", "true_cfg_scale", "negative_prompt",
+                    "height", "width", "seed", "num_images_per_prompt"}
+                   -> {"request_id", "images": [b64 PNG], "latency_ms"}
+  POST /v1/chat    {"message": str, "image"?: b64} -> routed single turn:
+                   {"type": "image", "images": [...]} or
+                   {"type": "text", "text": ...}
+
+All device work funnels through serve/scheduler.DeviceScheduler: one
+worker thread owns the TPU, the admission queue is bounded (503 on
+overflow), and same-shape edit requests can be coalesced into one
+batched device program (see runtime.edit_batch).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, List, Optional
+
+from PIL import Image
+
+from gpt_image_edit_tpu.serve.scheduler import (
+    BatchItemErrors,
+    DeviceScheduler,
+    Job,
+    QueueFullError,
+    SchedulerClosedError,
+)
+
+log = logging.getLogger(__name__)
+
+MAX_BODY_BYTES = 64 * 1024 * 1024  # request admission cap (bounded memory)
+
+# edit() kwargs accepted over the wire, with validators
+_EDIT_FIELDS = {
+    "steps": int,
+    "guidance": float,
+    "true_cfg_scale": float,
+    "negative_prompt": str,
+    "height": int,
+    "width": int,
+    "seed": int,
+    "num_images_per_prompt": int,
+}
+
+
+class ApiError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+        self.message = message
+
+
+def _b64_to_image(data: str) -> Image.Image:
+    try:
+        raw = base64.b64decode(data, validate=True)
+        img = Image.open(io.BytesIO(raw))
+        img.load()
+        return img.convert("RGB")
+    except Exception as e:  # noqa: BLE001 — client error surface
+        raise ApiError(400, f"invalid image payload: {e}") from e
+
+
+def _image_to_b64(img: Image.Image) -> str:
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def _parse_edit_request(payload: dict) -> dict:
+    if not isinstance(payload, dict):
+        raise ApiError(400, "body must be a JSON object")
+    instruction = payload.get("instruction")
+    if not isinstance(instruction, str) or not instruction.strip():
+        raise ApiError(400, "'instruction' (non-empty string) is required")
+    req: dict = {"instruction": instruction}
+
+    images: List[Image.Image] = []
+    if "images" in payload and payload["images"] is not None:
+        if not isinstance(payload["images"], list):
+            raise ApiError(400, "'images' must be a list of base64 strings")
+        images = [_b64_to_image(x) for x in payload["images"]]
+    elif payload.get("image") is not None:
+        images = [_b64_to_image(payload["image"])]
+    req["images"] = images
+
+    for name, cast in _EDIT_FIELDS.items():
+        if name in payload and payload[name] is not None:
+            try:
+                req[name] = cast(payload[name])
+            except (TypeError, ValueError) as e:
+                raise ApiError(400, f"invalid '{name}': {e}") from e
+    if req.get("steps", 28) < 1:
+        raise ApiError(400, "'steps' must be >= 1")
+    if not 1 <= req.get("num_images_per_prompt", 1) <= 8:
+        raise ApiError(400, "'num_images_per_prompt' must be in [1, 8]")
+    return req
+
+
+def _edit_kwargs(req: dict) -> dict:
+    kw = {k: v for k, v in req.items() if k in _EDIT_FIELDS}
+    imgs = req["images"]
+    image = imgs if len(imgs) > 1 else (imgs[0] if imgs else None)
+    return {"instruction": req["instruction"], "image": image, **kw}
+
+
+def edit_signature(req: dict) -> Optional[tuple]:
+    """Batch-compatibility key for coalescing (see runtime.edit_batch).
+
+    Two requests may share one device program iff every static shape
+    agrees: output size, step count, CFG mode, per-ref cond buckets,
+    and images-per-prompt. Instruction text does NOT break batching —
+    embeddings are padded to a shared bucket inside edit_batch.
+    """
+    from gpt_image_edit_tpu.pipeline.kontext import pick_kontext_resolution
+
+    imgs = req["images"]
+    cond_buckets = tuple(
+        pick_kontext_resolution(im.width, im.height) for im in imgs
+    )
+    return (
+        req.get("height"),
+        req.get("width"),
+        req.get("steps", 28),
+        float(req.get("guidance", 3.5)),
+        float(req.get("true_cfg_scale", 1.0)) > 1.0,
+        req.get("negative_prompt"),
+        cond_buckets,
+        req.get("num_images_per_prompt", 1),
+    )
+
+
+class RuntimeExecutor:
+    """Bridges scheduler Jobs to a UnivaRuntime.
+
+    Edit jobs with a shared signature run through ``runtime.edit_batch``
+    when available (one batched scan for the whole group); otherwise —
+    and for chat jobs, which carry routing state — jobs run serially
+    with per-item error isolation.
+    """
+
+    def __init__(self, runtime: Any):
+        self.runtime = runtime
+
+    def __call__(self, jobs: List[Job]) -> List[Any]:
+        kinds = {j.request["kind"] for j in jobs}
+        if (
+            kinds == {"edit"}
+            and len(jobs) > 1
+            and hasattr(self.runtime, "edit_batch")
+        ):
+            reqs = [_edit_kwargs(j.request["body"]) for j in jobs]
+            outs = self.runtime.edit_batch(reqs)
+            return [self._edit_response(o) for o in outs]
+
+        items: List[Any] = []
+        for j in jobs:
+            try:
+                items.append(self._run_one(j.request))
+            except BaseException as e:  # noqa: BLE001 — per-item isolation
+                items.append(e)
+        if any(isinstance(x, BaseException) for x in items):
+            raise BatchItemErrors(items)
+        return items
+
+    def _run_one(self, request: dict) -> dict:
+        kind, body = request["kind"], request["body"]
+        if kind == "edit":
+            out = self.runtime.edit(**_edit_kwargs(body))
+            return self._edit_response(out)
+        if kind == "chat":
+            imgs = body["images"]
+            image = imgs[0] if imgs else None
+            img_out, text = self.runtime.chat(body["instruction"], image)
+            if img_out is not None:
+                return {"type": "image", "images": [_image_to_b64(img_out)]}
+            return {"type": "text", "text": text}
+        raise ApiError(400, f"unknown request kind {kind!r}")
+
+    @staticmethod
+    def _edit_response(out: Any) -> dict:
+        images = out if isinstance(out, list) else [out]
+        return {"images": [_image_to_b64(im) for im in images]}
+
+
+def _make_handler(scheduler: DeviceScheduler, runtime: Any):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        server_version = "gie-tpu"
+
+        def log_message(self, fmt, *args):  # route to logging, not stderr
+            log.debug("%s " + fmt, self.address_string(), *args)
+
+        # ---------------- helpers ----------------
+        def _send_json(self, status: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_json(self) -> dict:
+            length = int(self.headers.get("Content-Length") or 0)
+            if length <= 0:
+                raise ApiError(400, "missing request body")
+            if length > MAX_BODY_BYTES:
+                raise ApiError(413, f"body exceeds {MAX_BODY_BYTES} bytes")
+            raw = self.rfile.read(length)
+            try:
+                return json.loads(raw)
+            except json.JSONDecodeError as e:
+                raise ApiError(400, f"invalid JSON: {e}") from e
+
+        # ---------------- routes ----------------
+        def do_GET(self):  # noqa: N802 — http.server API
+            if self.path == "/healthz":
+                import jax
+
+                self._send_json(
+                    200,
+                    {
+                        "status": "ok",
+                        "backend": jax.default_backend(),
+                        "queue_depth": scheduler.queue_depth,
+                    },
+                )
+            elif self.path == "/v1/stats":
+                self._send_json(200, scheduler.stats())
+            else:
+                self._send_json(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802 — http.server API
+            try:
+                if self.path == "/v1/edit":
+                    body = _parse_edit_request(self._read_json())
+                    job = scheduler.submit(
+                        {"kind": "edit", "body": body},
+                        signature=("edit",) + tuple(edit_signature(body) or ()),
+                    )
+                    result = job.result()
+                    result = dict(result)
+                    result["request_id"] = job.request_id
+                    result["latency_ms"] = round(
+                        (job.finished_at - job.enqueued_at) * 1e3, 1
+                    )
+                    self._send_json(200, result)
+                elif self.path == "/v1/chat":
+                    payload = self._read_json()
+                    if "message" in payload and "instruction" not in payload:
+                        payload = dict(payload, instruction=payload["message"])
+                    body = _parse_edit_request(payload)
+                    job = scheduler.submit({"kind": "chat", "body": body})
+                    result = dict(job.result())
+                    result["request_id"] = job.request_id
+                    self._send_json(200, result)
+                else:
+                    self._send_json(404, {"error": "not found"})
+            except ApiError as e:
+                self._send_json(e.status, {"error": e.message})
+            except QueueFullError as e:
+                self._send_json(503, {"error": str(e), "retry_after_s": 5})
+            except SchedulerClosedError:
+                self._send_json(503, {"error": "server shutting down"})
+            except BrokenPipeError:
+                pass  # client went away mid-response
+            except Exception as e:  # noqa: BLE001 — last-resort 500
+                log.exception("request failed")
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+class ApiServer:
+    """Owns the HTTP listener + scheduler; context-manager friendly."""
+
+    def __init__(
+        self,
+        runtime: Any,
+        host: str = "127.0.0.1",
+        port: int = 8000,
+        *,
+        max_queue: int = 32,
+        max_batch: int = 1,
+        coalesce_window_s: float = 0.05,
+    ):
+        self.runtime = runtime
+        self.scheduler = DeviceScheduler(
+            RuntimeExecutor(runtime),
+            max_batch=max_batch,
+            max_queue=max_queue,
+            coalesce_window_s=coalesce_window_s,
+        )
+        self.httpd = ThreadingHTTPServer(
+            (host, port), _make_handler(self.scheduler, runtime)
+        )
+        self.httpd.daemon_threads = True
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self) -> tuple:
+        return self.httpd.server_address
+
+    def start(self) -> "ApiServer":
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, name="api-server", daemon=True
+        )
+        self._thread.start()
+        log.info("serving on http://%s:%d", *self.address[:2])
+        return self
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.scheduler.shutdown()
+        if self._thread is not None:
+            self._thread.join(10)
+
+    def __enter__(self) -> "ApiServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.shutdown()
+
+
+def main(argv=None):
+    import argparse
+
+    from gpt_image_edit_tpu.utils.platform import (
+        apply_platform_env,
+        enable_compile_cache,
+    )
+
+    apply_platform_env()
+    p = argparse.ArgumentParser(description="gpt_image_edit_tpu HTTP API server")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--flux_path", type=str, default=None)
+    p.add_argument("--tiny", action="store_true", help="random tiny weights")
+    p.add_argument("--quantize", type=str, default=None)
+    p.add_argument("--quantize_vlm", nargs="?", const="int8", default=None)
+    p.add_argument("--vae_dtype", type=str, default="bfloat16")
+    p.add_argument("--offload", action="store_true")
+    p.add_argument("--max_queue", type=int, default=32)
+    p.add_argument("--max_batch", type=int, default=1,
+                   help=">1 coalesces same-shape edit requests into one "
+                        "batched device program")
+    p.add_argument("--coalesce_window_ms", type=float, default=50.0)
+    p.add_argument("--compile_cache", type=str, default=None)
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    enable_compile_cache(args.compile_cache)
+
+    from gpt_image_edit_tpu.serve.runtime import UnivaRuntime
+
+    runtime = UnivaRuntime(
+        args.model_path,
+        args.flux_path,
+        tiny=args.tiny,
+        quantize=args.quantize,
+        quantize_vlm=args.quantize_vlm or False,
+        vae_dtype=args.vae_dtype,
+        offload=args.offload,
+    )
+    server = ApiServer(
+        runtime,
+        args.host,
+        args.port,
+        max_queue=args.max_queue,
+        max_batch=args.max_batch,
+        coalesce_window_s=args.coalesce_window_ms / 1e3,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

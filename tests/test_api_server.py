@@ -1,0 +1,405 @@
+"""HTTP serving API + device scheduler.
+
+The reference only ships human front-ends (Gradio/CLI); the API server
+is the deployment-grade machine front-end. These tests cover the
+scheduler contract (FIFO, coalescing, backpressure, error isolation,
+shutdown) with a fake executor, the HTTP layer over a stub runtime,
+and one end-to-end pass through the real tiny UnivaRuntime.
+"""
+
+import base64
+import io
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+from PIL import Image
+
+from gpt_image_edit_tpu.serve.api_server import ApiServer, RuntimeExecutor
+from gpt_image_edit_tpu.serve.scheduler import (
+    BatchItemErrors,
+    DeviceScheduler,
+    QueueFullError,
+    SchedulerClosedError,
+)
+
+
+# ---------------------------------------------------------------------------
+# scheduler unit tests
+# ---------------------------------------------------------------------------
+class TestDeviceScheduler:
+    def test_fifo_order_and_results(self):
+        order = []
+
+        def ex(jobs):
+            order.extend(j.request for j in jobs)
+            return [j.request * 10 for j in jobs]
+
+        s = DeviceScheduler(ex, max_batch=1)
+        try:
+            jobs = [s.submit(i) for i in range(5)]
+            assert [j.result(5) for j in jobs] == [0, 10, 20, 30, 40]
+            assert order == [0, 1, 2, 3, 4]
+            st = s.stats()
+            assert st["served"] == 5 and st["failed"] == 0
+            assert st["latency_p50_s"] >= 0
+        finally:
+            s.shutdown()
+
+    def test_coalesces_same_signature(self):
+        release = threading.Event()
+        batches = []
+
+        def ex(jobs):
+            release.wait(5)  # hold the worker so the queue builds up
+            batches.append([j.request for j in jobs])
+            return [j.request for j in jobs]
+
+        s = DeviceScheduler(ex, max_batch=4, coalesce_window_s=0.0)
+        try:
+            first = s.submit("warm", signature="a")  # occupies the worker
+            time.sleep(0.05)
+            rest = [s.submit(i, signature="a") for i in range(3)]
+            release.set()
+            for j in [first] + rest:
+                j.result(5)
+            assert batches[0] == ["warm"]
+            assert batches[1] == [0, 1, 2]  # coalesced into one batch
+            assert s.stats()["batches"] == 2
+        finally:
+            s.shutdown()
+
+    def test_mixed_signatures_batch_separately(self):
+        release = threading.Event()
+        batches = []
+
+        def ex(jobs):
+            release.wait(5)
+            batches.append(sorted(j.request for j in jobs))
+            return [j.request for j in jobs]
+
+        s = DeviceScheduler(ex, max_batch=4)
+        try:
+            warm = s.submit(-1, signature=None)
+            time.sleep(0.05)
+            jobs = [
+                s.submit(0, signature="a"),
+                s.submit(1, signature="b"),
+                s.submit(2, signature="a"),
+                s.submit(3, signature=None),
+            ]
+            release.set()
+            for j in [warm] + jobs:
+                j.result(5)
+            assert batches == [[-1], [0, 2], [1], [3]]
+        finally:
+            s.shutdown()
+
+    def test_backpressure_queue_full(self):
+        release = threading.Event()
+
+        def ex(jobs):
+            release.wait(5)
+            return [None for _ in jobs]
+
+        s = DeviceScheduler(ex, max_queue=2)
+        try:
+            s.submit(0)  # taken by the worker
+            time.sleep(0.05)
+            s.submit(1)
+            s.submit(2)
+            with pytest.raises(QueueFullError):
+                s.submit(3)
+            assert s.stats()["rejected"] == 1
+            release.set()
+        finally:
+            s.shutdown()
+
+    def test_batch_error_delivered_to_all(self):
+        def ex(jobs):
+            raise ValueError("device on fire")
+
+        s = DeviceScheduler(ex)
+        try:
+            j = s.submit(1)
+            with pytest.raises(ValueError, match="device on fire"):
+                j.result(5)
+            assert s.stats()["failed"] == 1
+        finally:
+            s.shutdown()
+
+    def test_per_item_error_isolation(self):
+        def ex(jobs):
+            items = [
+                RuntimeError("bad") if j.request == "bad" else "ok"
+                for j in jobs
+            ]
+            raise BatchItemErrors(items)
+
+        s = DeviceScheduler(ex)
+        try:
+            good, bad = s.submit("fine"), s.submit("bad")
+            assert good.result(5) == "ok"
+            with pytest.raises(RuntimeError, match="bad"):
+                bad.result(5)
+            st = s.stats()
+            assert st["served"] == 1 and st["failed"] == 1
+        finally:
+            s.shutdown()
+
+    def test_shutdown_fails_pending_and_rejects_new(self):
+        release = threading.Event()
+
+        def ex(jobs):
+            release.wait(5)
+            return [None for _ in jobs]
+
+        s = DeviceScheduler(ex)
+        s.submit(0)
+        time.sleep(0.05)
+        pending = s.submit(1)
+        release.set()
+        s.shutdown()
+        with pytest.raises(SchedulerClosedError):
+            pending.result(5)
+        with pytest.raises(SchedulerClosedError):
+            s.submit(2)
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer over a stub runtime
+# ---------------------------------------------------------------------------
+def _png_b64(size=(8, 8), color=(255, 0, 0)) -> str:
+    buf = io.BytesIO()
+    Image.new("RGB", size, color).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+class StubRuntime:
+    """Duck-typed runtime: records calls, returns tiny images/text."""
+
+    def __init__(self):
+        self.edit_calls = []
+        self.lock = threading.Lock()
+
+    def edit(self, instruction, image=None, **kw):
+        with self.lock:
+            self.edit_calls.append((instruction, image, kw))
+        n = kw.get("num_images_per_prompt", 1)
+        imgs = [Image.new("RGB", (4, 4), (0, 255, 0)) for _ in range(n)]
+        return imgs if n > 1 else imgs[0]
+
+    def chat(self, message, image=None, **kw):
+        if image is not None:
+            return Image.new("RGB", (4, 4)), None
+        return None, f"echo: {message}"
+
+
+def _request(url, payload=None, method=None):
+    if payload is not None:
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method=method or "POST",
+        )
+    else:
+        req = urllib.request.Request(url, method=method or "GET")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def stub_server():
+    rt = StubRuntime()
+    server = ApiServer(rt, "127.0.0.1", 0)  # ephemeral port
+    server.start()
+    host, port = server.address[:2]
+    yield rt, f"http://{host}:{port}"
+    server.shutdown()
+
+
+class TestApiServer:
+    def test_healthz_and_stats(self, stub_server):
+        _, base = stub_server
+        status, body = _request(f"{base}/healthz")
+        assert status == 200 and body["status"] == "ok"
+        assert body["backend"] == "cpu"  # conftest forces the CPU mesh
+        status, body = _request(f"{base}/v1/stats")
+        assert status == 200 and "served" in body
+
+    def test_edit_roundtrip(self, stub_server):
+        rt, base = stub_server
+        status, body = _request(
+            f"{base}/v1/edit",
+            {
+                "instruction": "make it blue",
+                "image": _png_b64(),
+                "steps": 4,
+                "seed": 7,
+            },
+        )
+        assert status == 200
+        assert body["request_id"] and body["latency_ms"] >= 0
+        out = Image.open(io.BytesIO(base64.b64decode(body["images"][0])))
+        assert out.size == (4, 4)
+        instruction, image, kw = rt.edit_calls[-1]
+        assert instruction == "make it blue"
+        assert image.size == (8, 8)
+        assert kw["steps"] == 4 and kw["seed"] == 7
+
+    def test_edit_multi_image_and_n_samples(self, stub_server):
+        rt, base = stub_server
+        status, body = _request(
+            f"{base}/v1/edit",
+            {
+                "instruction": "combine",
+                "images": [_png_b64(), _png_b64((16, 16))],
+                "num_images_per_prompt": 2,
+            },
+        )
+        assert status == 200 and len(body["images"]) == 2
+        _, image, _ = rt.edit_calls[-1]
+        assert isinstance(image, list) and len(image) == 2
+
+    def test_chat_routes_text_and_image(self, stub_server):
+        _, base = stub_server
+        status, body = _request(
+            f"{base}/v1/chat", {"message": "what is this?"}
+        )
+        assert status == 200
+        assert body == dict(body, type="text", text="echo: what is this?")
+        status, body = _request(
+            f"{base}/v1/chat", {"message": "edit it", "image": _png_b64()}
+        )
+        assert status == 200 and body["type"] == "image"
+
+    @pytest.mark.parametrize(
+        "payload,frag",
+        [
+            ({}, "instruction"),
+            ({"instruction": "x", "image": "!!notb64!!"}, "invalid image"),
+            ({"instruction": "x", "steps": 0}, "steps"),
+            ({"instruction": "x", "num_images_per_prompt": 99}, "num_images"),
+        ],
+    )
+    def test_bad_requests_400(self, stub_server, payload, frag):
+        _, base = stub_server
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _request(f"{base}/v1/edit", payload)
+        assert ei.value.code == 400
+        assert frag in json.loads(ei.value.read())["error"]
+
+    def test_unknown_route_404(self, stub_server):
+        _, base = stub_server
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _request(f"{base}/nope")
+        assert ei.value.code == 404
+
+    def test_runtime_error_500(self, stub_server):
+        rt, base = stub_server
+        orig = rt.edit
+        rt.edit = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+        try:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _request(f"{base}/v1/edit", {"instruction": "x"})
+            assert ei.value.code == 500
+            assert "boom" in json.loads(ei.value.read())["error"]
+        finally:
+            rt.edit = orig
+
+    def test_backpressure_503(self):
+        release = threading.Event()
+
+        class SlowRuntime(StubRuntime):
+            def edit(self, instruction, image=None, **kw):
+                release.wait(10)
+                return Image.new("RGB", (4, 4))
+
+        server = ApiServer(SlowRuntime(), "127.0.0.1", 0, max_queue=1)
+        server.start()
+        host, port = server.address[:2]
+        base = f"http://{host}:{port}"
+        try:
+            results = []
+
+            def fire():
+                try:
+                    results.append(_request(f"{base}/v1/edit",
+                                            {"instruction": "x"})[0])
+                except urllib.error.HTTPError as e:
+                    results.append(e.code)
+
+            threads = [threading.Thread(target=fire) for _ in range(4)]
+            for t in threads:
+                t.start()
+                time.sleep(0.1)  # deterministic arrival order
+            release.set()
+            for t in threads:
+                t.join(15)
+            # 1 executing + 1 queued succeed; the rest bounce with 503
+            assert sorted(results) == [200, 200, 503, 503]
+        finally:
+            server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# executor batching contract
+# ---------------------------------------------------------------------------
+class TestRuntimeExecutor:
+    def test_uses_edit_batch_for_same_signature_group(self):
+        calls = {}
+
+        class BatchRuntime(StubRuntime):
+            def edit_batch(self, reqs):
+                calls["n"] = len(reqs)
+                return [Image.new("RGB", (4, 4)) for _ in reqs]
+
+        from gpt_image_edit_tpu.serve.scheduler import Job
+
+        ex = RuntimeExecutor(BatchRuntime())
+        jobs = [
+            Job(request={"kind": "edit",
+                         "body": {"instruction": f"p{i}", "images": []}},
+                signature="s")
+            for i in range(3)
+        ]
+        out = ex(jobs)
+        assert calls["n"] == 3 and len(out) == 3
+        assert all("images" in r for r in out)
+
+    def test_single_job_uses_plain_edit(self):
+        rt = StubRuntime()
+        from gpt_image_edit_tpu.serve.scheduler import Job
+
+        ex = RuntimeExecutor(rt)
+        out = ex([Job(request={"kind": "edit",
+                               "body": {"instruction": "p", "images": []}})])
+        assert len(out) == 1 and rt.edit_calls
+
+
+# ---------------------------------------------------------------------------
+# end-to-end through the real tiny runtime
+# ---------------------------------------------------------------------------
+class TestTinyRuntimeIntegration:
+    def test_edit_over_http(self):
+        from gpt_image_edit_tpu.serve.runtime import UnivaRuntime
+
+        rt = UnivaRuntime(tiny=True)
+        with ApiServer(rt, "127.0.0.1", 0) as server:
+            host, port = server.address[:2]
+            status, body = _request(
+                f"http://{host}:{port}/v1/edit",
+                {
+                    "instruction": "redden the sky",
+                    "image": _png_b64((32, 32)),
+                    "steps": 2,
+                    "seed": 0,
+                },
+            )
+            assert status == 200
+            img = Image.open(io.BytesIO(base64.b64decode(body["images"][0])))
+            assert img.size[0] > 0 and img.mode == "RGB"
