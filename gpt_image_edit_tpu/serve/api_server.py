@@ -165,8 +165,13 @@ class RuntimeExecutor:
             and hasattr(self.runtime, "edit_batch")
         ):
             reqs = [_edit_kwargs(j.request["body"]) for j in jobs]
-            outs = self.runtime.edit_batch(reqs)
-            return [self._edit_response(o) for o in outs]
+            try:
+                outs = self.runtime.edit_batch(reqs)
+                return [self._edit_response(o) for o in outs]
+            except ValueError as e:
+                # shape-incompatible despite the signature gate (custom
+                # signature fn, duck-typed runtime): degrade to serial
+                log.warning("edit_batch rejected batch (%s); running serially", e)
 
         items: List[Any] = []
         for j in jobs:

@@ -280,22 +280,42 @@ class UnivaRuntime:
             return (t5 if self.joint_with_t5 else None), pooled
         return None, jnp.zeros((1, self.fcfg.pooled_projection_dim), jnp.bfloat16)
 
-    # ------------------------------------------------------------------
-    def edit(
+    def _neg_cond(self, negative_prompt: str):
+        """True-CFG negative branch: the hardcoded unconditional prompt
+        (ref:train_denoiser.py:1458-1468, flux_pipeline true_cfg); the branch
+        carries its own pad mask + rope length. Returns bf16
+        (neg_embeds, neg_pooled, neg_txt_pad_mask), each batch-1."""
+        neg_convo = [{"from": "user", "value": negative_prompt}]
+        neg_embeds, neg_kwargs = self._encode_prompt(neg_convo, [])
+        neg_txt_pad_mask = neg_kwargs["attention_mask"]
+        neg_t5, neg_pooled = self._text_cond(negative_prompt)
+        if neg_t5 is not None:
+            neg_embeds = jnp.concatenate(
+                [neg_embeds, neg_t5.astype(neg_embeds.dtype)], axis=1
+            )
+            neg_txt_pad_mask = jnp.concatenate(
+                [neg_txt_pad_mask,
+                 jnp.ones((1, neg_t5.shape[1]), neg_txt_pad_mask.dtype)],
+                axis=1,
+            )
+        return (
+            neg_embeds.astype(jnp.bfloat16),
+            neg_pooled.astype(jnp.bfloat16),
+            neg_txt_pad_mask,
+        )
+
+    def _prep_edit(
         self,
         instruction: str,
-        image=None,  # PIL.Image, list of PIL.Images (multi-ref), or None (t2i)
+        image=None,
         *,
-        steps: int = 28,
-        guidance: float = 3.5,
-        true_cfg_scale: float = 1.0,
-        negative_prompt: str = "Generate an image.",
         height: Optional[int] = None,
         width: Optional[int] = None,
         seed: Optional[int] = None,
-        step_callback=None,  # host fn(step_idx): UI progress (ref:app.py:308-313)
-        num_images_per_prompt: int = 1,  # batched sampling (ref:app.py:318-325)
-    ):
+    ) -> dict:
+        """Per-request host + VLM-prefill prep shared by edit()/edit_batch():
+        LVLM embeds (+T5 suffix), pad mask, pooled row, per-ref VAE-ready
+        cond pixels, resolved output size, and the sample rng."""
         images = (
             list(image) if isinstance(image, (list, tuple))
             else ([image] if image is not None else [])
@@ -316,49 +336,62 @@ class UnivaRuntime:
                 axis=1,
             )
 
-        neg_embeds = neg_pooled = neg_txt_pad_mask = None
-        if true_cfg_scale > 1.0:
-            # true-CFG negative branch: the hardcoded unconditional prompt
-            # (ref:train_denoiser.py:1458-1468, flux_pipeline true_cfg);
-            # the branch carries its own pad mask + rope length
-            neg_convo = [{"from": "user", "value": negative_prompt}]
-            neg_embeds, neg_kwargs = self._encode_prompt(neg_convo, [])
-            neg_txt_pad_mask = neg_kwargs["attention_mask"]
-            neg_t5, neg_pooled = self._text_cond(negative_prompt)
-            if neg_t5 is not None:
-                neg_embeds = jnp.concatenate(
-                    [neg_embeds, neg_t5.astype(neg_embeds.dtype)], axis=1
-                )
-                neg_txt_pad_mask = jnp.concatenate(
-                    [neg_txt_pad_mask,
-                     jnp.ones((1, neg_t5.shape[1]), neg_txt_pad_mask.dtype)],
-                    axis=1,
-                )
-            neg_embeds = neg_embeds.astype(jnp.bfloat16)
-            neg_pooled = neg_pooled.astype(jnp.bfloat16)
-
         first = images[0] if images else None
         if height is None or width is None:
             height, width = update_size(first)
         if self.vcfg.downscale != 8:  # tiny demo: keep it small
             height = width = 8 * self.vcfg.downscale
 
-        cond = None
-        if images:
-            conds = []
-            for im in images:
-                bw, bh = pick_kontext_resolution(im.width, im.height)
-                if self.vcfg.downscale != 8:
-                    bw = bh = height
-                conds.append(jnp.asarray(preprocess_vae_image(im, bh, bw))[None])
-            cond = conds if len(conds) > 1 else conds[0]
+        conds = []
+        for im in images:
+            bw, bh = pick_kontext_resolution(im.width, im.height)
+            if self.vcfg.downscale != 8:
+                bw = bh = height
+            conds.append(jnp.asarray(preprocess_vae_image(im, bh, bw))[None])
 
         rng = jax.random.key(seed) if seed is not None else self.rng
         self.rng, sample_rng = jax.random.split(rng)
+        return {
+            "embeds": embeds,
+            "txt_pad_mask": txt_pad_mask,
+            "pooled": pooled,
+            "conds": conds,
+            "height": height,
+            "width": width,
+            "rng": sample_rng,
+        }
+
+    # ------------------------------------------------------------------
+    def edit(
+        self,
+        instruction: str,
+        image=None,  # PIL.Image, list of PIL.Images (multi-ref), or None (t2i)
+        *,
+        steps: int = 28,
+        guidance: float = 3.5,
+        true_cfg_scale: float = 1.0,
+        negative_prompt: str = "Generate an image.",
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        seed: Optional[int] = None,
+        step_callback=None,  # host fn(step_idx): UI progress (ref:app.py:308-313)
+        num_images_per_prompt: int = 1,  # batched sampling (ref:app.py:318-325)
+    ):
+        prep = self._prep_edit(
+            instruction, image, height=height, width=width, seed=seed
+        )
+        neg_embeds = neg_pooled = neg_txt_pad_mask = None
+        if true_cfg_scale > 1.0:
+            neg_embeds, neg_pooled, neg_txt_pad_mask = self._neg_cond(
+                negative_prompt
+            )
+        conds = prep["conds"]
+        cond = None if not conds else (conds if len(conds) > 1 else conds[0])
+        height, width, sample_rng = prep["height"], prep["width"], prep["rng"]
         self._evict_vlm()  # offload: VLM HBM copy freed before the scan
         out = self.pipe(
-            prompt_embeds=embeds.astype(jnp.bfloat16),
-            pooled_prompt_embeds=pooled.astype(jnp.bfloat16),
+            prompt_embeds=prep["embeds"].astype(jnp.bfloat16),
+            pooled_prompt_embeds=prep["pooled"].astype(jnp.bfloat16),
             image=cond,
             height=height,
             width=width,
@@ -370,13 +403,151 @@ class UnivaRuntime:
             rng=sample_rng,
             step_callback=step_callback,
             num_images_per_prompt=num_images_per_prompt,
-            txt_pad_mask=txt_pad_mask,
+            txt_pad_mask=prep["txt_pad_mask"],
             neg_txt_pad_mask=neg_txt_pad_mask,
         )
         arrs = postprocess_to_uint8(out)
         if num_images_per_prompt > 1:
             return [Image.fromarray(a) for a in arrs]
         return Image.fromarray(arrs[0])
+
+    # ------------------------------------------------------------------
+    def edit_batch(self, reqs: List[dict], *, txt_bucket: int = 32):
+        """Coalesced multi-request sampling: ONE batched denoise scan (and one
+        VAE decode) for R shape-compatible edit requests.
+
+        Beyond the reference (which serves one request at a time off the
+        Gradio thread, ref:app.py:318-325): the serve/scheduler signature
+        gate guarantees batchmates agree on every static shape (output size,
+        steps, CFG mode, per-ref cond buckets, images-per-prompt), so their
+        conditioning can be stacked into one static-shape device program —
+        text embeds are zero-padded to a shared ``txt_bucket`` multiple
+        (padded rows are mask-inert in the joint attention) and per-request
+        initial noise is drawn exactly as the solo path would, so a seeded
+        request reproduces its solo output inside any batch.
+
+        ``reqs``: list of edit() kwargs dicts. Returns one entry per request
+        (a PIL image, or a list when num_images_per_prompt > 1), in order.
+        Raises ValueError on shape-incompatible requests (callers such as
+        serve.api_server fall back to serial execution).
+        """
+        if not reqs:
+            return []
+        if len(reqs) == 1:
+            return [self.edit(**reqs[0])]
+
+        def _static(r):
+            return (
+                r.get("steps", 28),
+                float(r.get("guidance", 3.5)),
+                float(r.get("true_cfg_scale", 1.0)),
+                r.get("negative_prompt", "Generate an image."),
+                int(r.get("num_images_per_prompt", 1)),
+            )
+
+        steps, guidance, true_cfg_scale, negative_prompt, n = _static(reqs[0])
+        for r in reqs[1:]:
+            if _static(r) != _static(reqs[0]):
+                raise ValueError(
+                    "edit_batch requires identical steps/guidance/CFG/"
+                    "num_images_per_prompt across the batch"
+                )
+        if any(r.get("step_callback") for r in reqs):
+            raise ValueError("step_callback is not supported in edit_batch")
+
+        preps = [
+            self._prep_edit(
+                r["instruction"], r.get("image"),
+                height=r.get("height"), width=r.get("width"),
+                seed=r.get("seed"),
+            )
+            for r in reqs
+        ]
+        if len({(p["height"], p["width"]) for p in preps}) != 1:
+            raise ValueError("edit_batch requires one output resolution")
+        if len({tuple(c.shape for c in p["conds"]) for p in preps}) != 1:
+            raise ValueError("edit_batch requires matching reference buckets")
+        height, width = preps[0]["height"], preps[0]["width"]
+
+        # shared text bucket: zero rows + zero pad-mask are attention-inert
+        max_len = max(p["embeds"].shape[1] for p in preps)
+        bucket = -(-max_len // txt_bucket) * txt_bucket
+
+        def _pad_txt(e, m):
+            pad = bucket - e.shape[1]
+            if pad:
+                e = jnp.pad(e, ((0, 0), (0, pad), (0, 0)))
+                m = jnp.pad(m, ((0, 0), (0, pad)))
+            return e, m
+
+        down = self.vcfg.downscale
+        lat_h = 2 * (height // (down * 2))
+        lat_w = 2 * (width // (down * 2))
+
+        from gpt_image_edit_tpu.ops.packing import pack_latents
+
+        embeds_rows, mask_rows, pooled_rows = [], [], []
+        latent_rows, cond_rows = [], []
+        image_ids = None
+        for p in preps:
+            e, m = _pad_txt(p["embeds"].astype(jnp.bfloat16), p["txt_pad_mask"])
+            embeds_rows.append(jnp.repeat(e, n, axis=0))
+            mask_rows.append(jnp.repeat(m, n, axis=0))
+            pooled_rows.append(
+                jnp.repeat(p["pooled"].astype(jnp.bfloat16), n, axis=0)
+            )
+            # per-request noise drawn exactly like the solo pipeline call:
+            # (n, lat_h, lat_w, C) fp32 from this request's sample rng
+            noise = jax.random.normal(
+                p["rng"], (n, lat_h, lat_w, self.vcfg.latent_channels),
+                dtype=jnp.float32,
+            ).astype(jnp.bfloat16)
+            latent_rows.append(pack_latents(noise))
+            if p["conds"]:
+                # encode each reference ONCE per request, tile the packed
+                # latents across the n samples (row-identical to the solo
+                # path, which tiles pixels and re-encodes duplicates)
+                if len(p["conds"]) > 1:
+                    lat, ids = self.pipe.encode_references(p["conds"])
+                else:
+                    lat, ids = self.pipe.encode_reference(p["conds"][0])
+                image_ids = ids
+                cond_rows.append(jnp.repeat(lat.astype(jnp.bfloat16), n, axis=0))
+
+        neg_embeds = neg_pooled = neg_txt_pad_mask = None
+        total = len(reqs) * n
+        if true_cfg_scale > 1.0:
+            # one VLM prefill for the shared negative prompt, tiled to B
+            ne, np_, nm = self._neg_cond(negative_prompt)
+            neg_embeds = jnp.repeat(ne, total, axis=0)
+            neg_pooled = jnp.repeat(np_, total, axis=0)
+            neg_txt_pad_mask = jnp.repeat(nm, total, axis=0)
+
+        self._evict_vlm()  # offload: VLM HBM copy freed before the scan
+        out = self.pipe(
+            prompt_embeds=jnp.concatenate(embeds_rows, axis=0),
+            pooled_prompt_embeds=jnp.concatenate(pooled_rows, axis=0),
+            image_latents=(
+                jnp.concatenate(cond_rows, axis=0) if cond_rows else None
+            ),
+            image_ids=image_ids,
+            height=height,
+            width=width,
+            num_inference_steps=steps,
+            guidance_scale=guidance,
+            true_cfg_scale=true_cfg_scale,
+            negative_prompt_embeds=neg_embeds,
+            negative_pooled_prompt_embeds=neg_pooled,
+            latents=jnp.concatenate(latent_rows, axis=0),
+            txt_pad_mask=jnp.concatenate(mask_rows, axis=0),
+            neg_txt_pad_mask=neg_txt_pad_mask,
+        )
+        arrs = postprocess_to_uint8(out)
+        results = []
+        for i in range(len(reqs)):
+            group = [Image.fromarray(a) for a in arrs[i * n : (i + 1) * n]]
+            results.append(group if n > 1 else group[0])
+        return results
 
     # ------------------------------------------------------------------
     def route(self, message: str, image: Optional[Image.Image] = None) -> bool:

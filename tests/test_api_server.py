@@ -381,6 +381,110 @@ class TestRuntimeExecutor:
         assert len(out) == 1 and rt.edit_calls
 
 
+class TestExecutorSerialFallback:
+    def test_falls_back_when_edit_batch_rejects(self):
+        from gpt_image_edit_tpu.serve.scheduler import Job
+
+        class PickyRuntime(StubRuntime):
+            def edit_batch(self, reqs):
+                raise ValueError("incompatible shapes")
+
+        rt = PickyRuntime()
+        ex = RuntimeExecutor(rt)
+        jobs = [
+            Job(request={"kind": "edit",
+                         "body": {"instruction": f"p{i}", "images": []}},
+                signature="s")
+            for i in range(2)
+        ]
+        out = ex(jobs)
+        assert len(out) == 2 and len(rt.edit_calls) == 2  # ran serially
+
+
+# ---------------------------------------------------------------------------
+# batched sampling through the real tiny runtime
+# ---------------------------------------------------------------------------
+import numpy as np  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def tiny_rt():
+    from gpt_image_edit_tpu.serve.runtime import UnivaRuntime
+
+    return UnivaRuntime(tiny=True)
+
+
+class TestEditBatch:
+    def test_matches_solo_outputs(self, tiny_rt):
+        img = Image.new("RGB", (32, 32), (120, 40, 200))
+        reqs = [
+            {"instruction": "make it red", "image": img,
+             "steps": 2, "seed": 3},
+            {"instruction": "repaint the entire sky in a warm golden hue "
+                            "while keeping the foreground untouched",
+             "image": img, "steps": 2, "seed": 9},
+        ]
+        solo = [tiny_rt.edit(**r) for r in reqs]
+        batched = tiny_rt.edit_batch([dict(r) for r in reqs])
+        assert len(batched) == 2
+        for s, b in zip(solo, batched):
+            a = np.asarray(s, dtype=np.int16)
+            c = np.asarray(b, dtype=np.int16)
+            assert a.shape == c.shape
+            # text padding is mask-inert; only XLA summation-order noise
+            assert np.abs(a - c).max() <= 2
+
+    def test_num_images_per_prompt_matches_solo(self, tiny_rt):
+        reqs = [
+            {"instruction": f"prompt {i}", "steps": 1, "seed": 10 + i,
+             "num_images_per_prompt": 2}
+            for i in range(2)
+        ]
+        solo0 = tiny_rt.edit(**reqs[0])
+        out = tiny_rt.edit_batch([dict(r) for r in reqs])
+        assert len(out) == 2 and all(len(g) == 2 for g in out)
+        # per-request noise is drawn exactly as the solo path draws it
+        for s, b in zip(solo0, out[0]):
+            diff = np.abs(np.asarray(s, np.int16) - np.asarray(b, np.int16))
+            assert diff.max() <= 2
+        # the two samples of one request use distinct noise rows
+        assert not np.array_equal(np.asarray(out[0][0]), np.asarray(out[0][1]))
+
+    def test_multi_ref_batch(self, tiny_rt):
+        refs = [Image.new("RGB", (32, 32), c) for c in ((255, 0, 0), (0, 0, 255))]
+        reqs = [
+            {"instruction": "merge them", "image": refs, "steps": 1, "seed": 1},
+            {"instruction": "blend the two references", "image": refs,
+             "steps": 1, "seed": 2},
+        ]
+        solo = [tiny_rt.edit(**r) for r in reqs]
+        out = tiny_rt.edit_batch([dict(r) for r in reqs])
+        for s, b in zip(solo, out):
+            diff = np.abs(np.asarray(s, np.int16) - np.asarray(b, np.int16))
+            # joint multi-ref sequence is longer -> a bit more bf16
+            # summation-order noise than the single-ref case
+            assert diff.max() <= 5 and diff.mean() <= 0.5
+
+    def test_incompatible_static_config_raises(self, tiny_rt):
+        with pytest.raises(ValueError, match="identical steps"):
+            tiny_rt.edit_batch([
+                {"instruction": "a", "steps": 1},
+                {"instruction": "b", "steps": 2},
+            ])
+
+    def test_mixed_cond_raises(self, tiny_rt):
+        with pytest.raises(ValueError, match="reference buckets"):
+            tiny_rt.edit_batch([
+                {"instruction": "a", "steps": 1,
+                 "image": Image.new("RGB", (32, 32))},
+                {"instruction": "b", "steps": 1},
+            ])
+
+    def test_single_request_delegates(self, tiny_rt):
+        out = tiny_rt.edit_batch([{"instruction": "solo", "steps": 1, "seed": 0}])
+        assert len(out) == 1 and out[0].mode == "RGB"
+
+
 # ---------------------------------------------------------------------------
 # end-to-end through the real tiny runtime
 # ---------------------------------------------------------------------------
