@@ -65,3 +65,24 @@ def build_mesh(
         shape = tuple(shape) + (1,)  # reserved sequence axis, size 1
     arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, MESH_AXES)
+
+
+def mesh_from_arg(arg: Optional[str]) -> Optional[Mesh]:
+    """CLI-flag mesh parser for serving entry points.
+
+    None/"" -> None (single-device), "auto" -> all visible devices with the
+    default factorization, "dp,fsdp,tp" (e.g. "1,4,2") -> that shape.
+    """
+    if not arg:
+        return None
+    if arg == "auto":
+        return build_mesh()
+    try:
+        shape = tuple(int(x) for x in arg.split(","))
+    except ValueError as e:
+        raise ValueError(
+            f"--mesh must be 'auto' or 'dp,fsdp,tp' integers, got {arg!r}"
+        ) from e
+    if len(shape) != 3:
+        raise ValueError(f"--mesh needs 3 axes (dp,fsdp,tp), got {arg!r}")
+    return build_mesh(int(np.prod(shape)), shape=shape)

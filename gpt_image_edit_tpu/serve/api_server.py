@@ -371,11 +371,14 @@ def main(argv=None):
                         "batched device program")
     p.add_argument("--coalesce_window_ms", type=float, default=50.0)
     p.add_argument("--compile_cache", type=str, default=None)
+    p.add_argument("--mesh", type=str, default=None,
+                   help="multi-chip serving: 'auto' or 'dp,fsdp,tp'")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
     enable_compile_cache(args.compile_cache)
 
+    from gpt_image_edit_tpu.parallel.mesh import mesh_from_arg
     from gpt_image_edit_tpu.serve.runtime import UnivaRuntime
 
     runtime = UnivaRuntime(
@@ -386,6 +389,7 @@ def main(argv=None):
         quantize_vlm=args.quantize_vlm or False,
         vae_dtype=args.vae_dtype,
         offload=args.offload,
+        mesh=mesh_from_arg(args.mesh),
     )
     server = ApiServer(
         runtime,

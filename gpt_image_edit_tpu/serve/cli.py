@@ -20,6 +20,7 @@ import sys
 
 from PIL import Image
 
+from gpt_image_edit_tpu.parallel.mesh import mesh_from_arg
 from gpt_image_edit_tpu.serve.runtime import UnivaRuntime
 
 
@@ -63,6 +64,10 @@ def build_parser():
                    help="int8 VLM trunk (single-chip serving): bare flag or "
                         "'int8' = weight-only, 'w8a8' = int8 MXU matmuls "
                         "(faster prefill)")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="multi-chip serving: 'auto' (all devices) or "
+                        "'dp,fsdp,tp' (e.g. 1,4,2) — params shard over the "
+                        "mesh, GSPMD handles the collectives")
     return p
 
 
@@ -77,7 +82,7 @@ def main(argv=None):
         quantize=args.quantize, joint_with_t5=not args.no_joint_with_t5,
         unroll_blocks=args.unroll_blocks, scan_unroll=args.scan_unroll,
         vae_dtype=args.vae_dtype, offload=args.offload,
-        quantize_vlm=args.quantize_vlm,
+        quantize_vlm=args.quantize_vlm, mesh=mesh_from_arg(args.mesh),
     )
     image = Image.open(args.image) if args.image else None
 

@@ -69,9 +69,17 @@ class UnivaRuntime:
         # (ref:app.py:37,177-178 enable_model_cpu_offload), TPU-native:
         # VLM/FLUX/VAE params park in pinned_host memory and stage into HBM
         # only for the stage that uses them — peak-HBM = one component
+        mesh=None,                       # jax.sharding.Mesh: multi-chip
+        # serving — VLM/FLUX/VAE params shard over (fsdp, tensor) via
+        # parallel.sharding rules, GSPMD inserts the ICI collectives
+        # (the reference has no multi-GPU serving; its 19B stack is
+        # single-device or CPU-offloaded). Text encoders stay replicated.
     ):
         from gpt_image_edit_tpu.utils.offload import ComponentStore
 
+        if mesh is not None and offload:
+            raise ValueError("offload and mesh sharding are mutually exclusive")
+        self.mesh = mesh
         self.offload = offload
         self._store = ComponentStore(enabled=offload)
         self.prompter = Qwen2VLPrompter()
@@ -198,11 +206,18 @@ class UnivaRuntime:
                 self.task_head = load_task_head(th_path)
                 log.info("loaded task head from %s", th_path)
 
+        if mesh is not None:
+            # shard AFTER quantization so the int8/int4 payloads (not the
+            # bf16 masters) are what lands distributed across HBMs
+            from gpt_image_edit_tpu.parallel.sharding import shard_params
+
+            self.qwen_params = shard_params(self.qwen_params, mesh)
+
         self.qwen_params = self._store.add("vlm", self.qwen_params)
         # the reference pairs --offload with vae slicing (ref:app.py:177-179)
         self.pipe = KontextPipeline(
             flux_params, self.fcfg, vae_params, self.vcfg,
-            offload=offload, vae_slicing=offload,
+            offload=offload, vae_slicing=offload, mesh=mesh,
         )
         self.rng = jax.random.key(seed)
 

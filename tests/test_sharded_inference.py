@@ -45,3 +45,54 @@ def test_sharded_pipeline_matches_unsharded():
             KontextPipeline(flux_params, fcfg, vae_params, vcfg, mesh=mesh)
         )
     np.testing.assert_allclose(sharded, ref, atol=2e-4)
+
+
+class TestShardedRuntime:
+    """--mesh serving: the full UnivaRuntime (VLM prefill + scan + decode)
+    sharded over a (1,4,2) fsdp x tensor mesh matches single-device."""
+
+    def test_runtime_edit_matches_unsharded(self):
+        from PIL import Image
+
+        from gpt_image_edit_tpu.serve.runtime import UnivaRuntime
+
+        img = Image.new("RGB", (32, 32), (90, 160, 40))
+        kw = dict(steps=2, seed=5)
+        ref = np.asarray(UnivaRuntime(tiny=True).edit("turn it green", img, **kw))
+        mesh = build_mesh(8, shape=(1, 4, 2))
+        sharded = np.asarray(
+            UnivaRuntime(tiny=True, mesh=mesh).edit("turn it green", img, **kw)
+        )
+        diff = np.abs(ref.astype(np.int16) - sharded.astype(np.int16))
+        # sharded matmuls reduce in a different order through the bf16
+        # VLM prefill -> a few pixels move by a couple of 8-bit steps
+        assert diff.max() <= 4 and diff.mean() <= 0.5
+
+    def test_mesh_offload_mutually_exclusive(self):
+        import pytest
+
+        from gpt_image_edit_tpu.serve.runtime import UnivaRuntime
+
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            UnivaRuntime(tiny=True, mesh=build_mesh(8), offload=True)
+
+
+class TestMeshFromArg:
+    def test_parses(self):
+        from gpt_image_edit_tpu.parallel.mesh import mesh_from_arg
+
+        assert mesh_from_arg(None) is None
+        assert mesh_from_arg("") is None
+        m = mesh_from_arg("1,4,2")
+        assert dict(m.shape) == {"data": 1, "fsdp": 4, "tensor": 2, "sequence": 1}
+        assert mesh_from_arg("auto").size == 8  # conftest forces 8 devices
+
+    def test_rejects_malformed(self):
+        import pytest
+
+        from gpt_image_edit_tpu.parallel.mesh import mesh_from_arg
+
+        with pytest.raises(ValueError, match="dp,fsdp,tp"):
+            mesh_from_arg("abc")
+        with pytest.raises(ValueError, match="3 axes"):
+            mesh_from_arg("2,4")
