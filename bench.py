@@ -436,10 +436,12 @@ def phase_scan() -> dict:
         )
         return cfg, _shape_params(jax, jnp, abstract)
 
-    def run_once(cfg, params):
+    def run_once(cfg, params, batch=b):
         s_tgt = (h // 2) * (w // 2)
         latents = jnp.asarray(
-            np.random.default_rng(0).standard_normal((b, s_tgt, cfg.in_channels)),
+            np.random.default_rng(0).standard_normal(
+                (batch, s_tgt, cfg.in_channels)
+            ),
             jnp.bfloat16,
         )
         image_latents = latents * 0.5
@@ -447,10 +449,10 @@ def phase_scan() -> dict:
             [latent_image_ids(h // 2, w // 2, 0), latent_image_ids(h // 2, w // 2, 1)],
             axis=0,
         )
-        embeds = jnp.zeros((b, s_txt, cfg.joint_attention_dim), jnp.bfloat16)
-        pooled = jnp.zeros((b, cfg.pooled_projection_dim), jnp.bfloat16)
+        embeds = jnp.zeros((batch, s_txt, cfg.joint_attention_dim), jnp.bfloat16)
+        pooled = jnp.zeros((batch, cfg.pooled_projection_dim), jnp.bfloat16)
         sigmas = jnp.asarray(flow_sigmas(steps, s_tgt))
-        guidance = jnp.full((b,), 3.5, jnp.float32)
+        guidance = jnp.full((batch,), 3.5, jnp.float32)
 
         def call(lat):
             return denoise_scan(
@@ -509,7 +511,7 @@ def phase_scan() -> dict:
     #   W8A8 (int8 MXU matmuls)   — the fast serving mode (~22% faster).
     # Constructed shape-only (a bf16 tree first would OOM the chip).
     def _full_depth_int8(qkey, attn_impl="auto", scan_blocks=True,
-                         scan_unroll=1):
+                         scan_unroll=1, batch=1):
         cfg = dataclasses.replace(
             FluxConfig(), num_layers=19, num_single_layers=38,
             rope_dtype="bfloat16", attention_impl=attn_impl,
@@ -519,7 +521,7 @@ def phase_scan() -> dict:
             lambda key: init_flux(key, cfg, jnp.bfloat16), jax.random.key(0)
         )
         params = _int8_shape_params(jax, jnp, abstract, qkey=qkey)
-        t = run_once(cfg, params)
+        t = run_once(cfg, params, batch=batch)
         del params
         return t
 
@@ -529,47 +531,62 @@ def phase_scan() -> dict:
         # more than the int8 QK dot saves; `--quantize w8a8-qk8` stays
         # opt-in for hardware with a wider int8:bf16 MXU ratio)
         variants = [
-            ("q", "int8 weight-only", "auto", True, 1),
-            ("q_w8a8", "W8A8", "auto", True, 1),
+            ("q", "int8 weight-only", "auto", True, 1, 1),
+            ("q_w8a8", "W8A8", "auto", True, 1, 1),
         ]
         if os.environ.get("GIE_BENCH_VARIANTS"):
             # focused run: explicit variant list, e.g.
-            # GIE_BENCH_VARIANTS=w8a8,w8a8_u2,w8a8_u4 (with GIE_BENCH_ONLY_FULL=1
+            # GIE_BENCH_VARIANTS=w8a8,w8a8_u2,w8a8_b4 (with GIE_BENCH_ONLY_FULL=1
             # this measures just the named full-depth modes)
             variants = []
             for tok in os.environ["GIE_BENCH_VARIANTS"].split(","):
                 tok = tok.strip()
                 if tok == "int8":
-                    variants.append(("q", "int8 weight-only", "auto", True, 1))
+                    variants.append(("q", "int8 weight-only", "auto", True, 1, 1))
                 elif tok == "int4":
-                    variants.append(("q4", "int4 weight-only", "auto", True, 1))
+                    variants.append(("q4", "int4 weight-only", "auto", True, 1, 1))
                 elif tok == "w8a8":
-                    variants.append(("q_w8a8", "W8A8", "auto", True, 1))
+                    variants.append(("q_w8a8", "W8A8", "auto", True, 1, 1))
                 elif tok == "w8a8_unrolled":
-                    variants.append(("q_w8a8", "W8A8 unrolled", "auto", False, 1))
+                    variants.append(
+                        ("q_w8a8", "W8A8 unrolled", "auto", False, 1, 1)
+                    )
                 elif tok.startswith("w8a8_u") and tok[len("w8a8_u"):].isdigit():
                     k = int(tok[len("w8a8_u"):])
-                    variants.append(("q_w8a8", f"W8A8 scan-u{k}", "auto", True, k))
+                    variants.append(
+                        ("q_w8a8", f"W8A8 scan-u{k}", "auto", True, k, 1)
+                    )
+                elif tok.startswith("w8a8_b") and tok[len("w8a8_b"):].isdigit():
+                    # coalesced-serving throughput: one scan at batch=N
+                    # (serve/scheduler + runtime.edit_batch is the prod path)
+                    nb = int(tok[len("w8a8_b"):])
+                    variants.append(
+                        ("q_w8a8", f"W8A8 batch-{nb}", "auto", True, 1, nb)
+                    )
                 else:
                     log(f"unknown GIE_BENCH_VARIANTS token {tok!r} (skipped)")
         if os.environ.get("GIE_BENCH_UNROLLED"):
             # unrolled-blocks experiment (first compile is expensive; opt-in
             # until it has beaten the scan path on a real chip)
-            variants.append(("q_w8a8", "W8A8 unrolled", "auto", False, 1))
+            variants.append(("q_w8a8", "W8A8 unrolled", "auto", False, 1, 1))
         u = int(os.environ.get("GIE_BENCH_UNROLL", "0"))
         if u > 1:
             # partial scan unroll: k block bodies per scan iteration so XLA
             # can overlap the next layer's param slice/dequant with compute
             # (the `copy` bucket was 40-48% of the W8A8 step profile)
-            variants.append(("q_w8a8", f"W8A8 scan-u{u}", "auto", True, u))
-        for qkey, label, attn, scan_b, scan_u in variants:
+            variants.append(("q_w8a8", f"W8A8 scan-u{u}", "auto", True, u, 1))
+        for qkey, label, attn, scan_b, scan_u, nb in variants:
             try:
                 t = _full_depth_int8(qkey, attn, scan_blocks=scan_b,
-                                     scan_unroll=scan_u)
+                                     scan_unroll=scan_u, batch=nb)
+                # measured[] stores SECONDS PER IMAGE so _assemble's 1/t and
+                # min() comparisons stay correct across batch sizes
+                t_img = t / nb
                 log(f"{label} full depth (19 dual, 38 single): {t:.3f}s / "
                     f"{steps}-step scan ({t / steps * 1000:.1f} ms/step) "
-                    f"=> {1.0 / t:.4f} img/s/chip MEASURED full model")
-                measured[label] = t
+                    f"=> {nb / t:.4f} img/s/chip MEASURED full model"
+                    + (f" (batch {nb}: {t_img:.3f}s/img)" if nb > 1 else ""))
+                measured[label] = t_img
                 _write_partial({"rows": rows, "measured": measured,
                                 "fit_img_s": _fit(rows)[0]})
             except Exception as e:
