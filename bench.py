@@ -489,7 +489,7 @@ def phase_scan() -> dict:
         return b / t_full, coef
 
     rows = []
-    measured = {}  # label -> seconds / 28-step scan (TRUE full-depth model)
+    measured = {}  # label -> seconds PER IMAGE (scan time / batch) at TRUE full depth
     for nd, ns in depths:
         try:
             cfg, params = build(nd, ns)

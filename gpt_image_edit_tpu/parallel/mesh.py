@@ -85,4 +85,14 @@ def mesh_from_arg(arg: Optional[str]) -> Optional[Mesh]:
         ) from e
     if len(shape) != 3:
         raise ValueError(f"--mesh needs 3 axes (dp,fsdp,tp), got {arg!r}")
-    return build_mesh(int(np.prod(shape)), shape=shape)
+    if any(x < 1 for x in shape):
+        # numpy reshape would treat -1 as a wildcard and silently build a
+        # wrong-shaped mesh; 0 builds an empty one that fails much later
+        raise ValueError(f"--mesh axes must be positive integers, got {arg!r}")
+    n = int(np.prod(shape))
+    avail = len(jax.devices())
+    if n > avail:
+        raise ValueError(
+            f"--mesh {arg!r} needs {n} devices but only {avail} are visible"
+        )
+    return build_mesh(n, shape=shape)

@@ -133,13 +133,18 @@ def edit_signature(req: dict) -> Optional[tuple]:
     cond_buckets = tuple(
         pick_kontext_resolution(im.width, im.height) for im in imgs
     )
+    true_cfg = float(req.get("true_cfg_scale", 1.0))
     return (
         req.get("height"),
         req.get("width"),
         req.get("steps", 28),
         float(req.get("guidance", 3.5)),
-        float(req.get("true_cfg_scale", 1.0)) > 1.0,
-        req.get("negative_prompt"),
+        # exact scale, matching runtime.edit_batch's equality gate (a bool
+        # here would coalesce 2.0-vs-3.0 CFG traffic into batches that the
+        # runtime then rejects on every group); the negative prompt only
+        # matters when the CFG branch actually runs
+        true_cfg,
+        req.get("negative_prompt") if true_cfg > 1.0 else None,
         cond_buckets,
         req.get("num_images_per_prompt", 1),
     )

@@ -319,6 +319,30 @@ class UnivaRuntime:
             neg_txt_pad_mask,
         )
 
+    @staticmethod
+    def _as_image_list(image) -> list:
+        return (
+            list(image) if isinstance(image, (list, tuple))
+            else ([image] if image is not None else [])
+        )
+
+    def _resolve_shapes(self, images, height, width):
+        """Pure-host shape resolution for one request: output (height, width)
+        and per-ref cond buckets [(bh, bw), ...]. Shared by _prep_edit and
+        edit_batch's cheap pre-prefill compatibility check."""
+        first = images[0] if images else None
+        if height is None or width is None:
+            height, width = update_size(first)
+        if self.vcfg.downscale != 8:  # tiny demo: keep it small
+            height = width = 8 * self.vcfg.downscale
+        buckets = []
+        for im in images:
+            bw, bh = pick_kontext_resolution(im.width, im.height)
+            if self.vcfg.downscale != 8:
+                bw = bh = height
+            buckets.append((bh, bw))
+        return height, width, buckets
+
     def _prep_edit(
         self,
         instruction: str,
@@ -331,10 +355,7 @@ class UnivaRuntime:
         """Per-request host + VLM-prefill prep shared by edit()/edit_batch():
         LVLM embeds (+T5 suffix), pad mask, pooled row, per-ref VAE-ready
         cond pixels, resolved output size, and the sample rng."""
-        images = (
-            list(image) if isinstance(image, (list, tuple))
-            else ([image] if image is not None else [])
-        )
+        images = self._as_image_list(image)
         value = "<image>" * len(images) + instruction
         conversation = [{"from": "user", "value": value}]
         embeds, enc_kwargs = self._encode_prompt(conversation, images)
@@ -351,21 +372,19 @@ class UnivaRuntime:
                 axis=1,
             )
 
-        first = images[0] if images else None
-        if height is None or width is None:
-            height, width = update_size(first)
-        if self.vcfg.downscale != 8:  # tiny demo: keep it small
-            height = width = 8 * self.vcfg.downscale
+        height, width, buckets = self._resolve_shapes(images, height, width)
+        conds = [
+            jnp.asarray(preprocess_vae_image(im, bh, bw))[None]
+            for im, (bh, bw) in zip(images, buckets)
+        ]
 
-        conds = []
-        for im in images:
-            bw, bh = pick_kontext_resolution(im.width, im.height)
-            if self.vcfg.downscale != 8:
-                bw = bh = height
-            conds.append(jnp.asarray(preprocess_vae_image(im, bh, bw))[None])
-
-        rng = jax.random.key(seed) if seed is not None else self.rng
-        self.rng, sample_rng = jax.random.split(rng)
+        if seed is not None:
+            # seeded requests must NOT write back to the shared stream: one
+            # client's seed would otherwise determine every later unseeded
+            # request's "random" noise (server-wide determinism leak)
+            sample_rng = jax.random.split(jax.random.key(seed))[1]
+        else:
+            self.rng, sample_rng = jax.random.split(self.rng)
         return {
             "embeds": embeds,
             "txt_pad_mask": txt_pad_mask,
@@ -452,11 +471,14 @@ class UnivaRuntime:
             return [self.edit(**reqs[0])]
 
         def _static(r):
+            true_cfg = float(r.get("true_cfg_scale", 1.0))
             return (
                 r.get("steps", 28),
                 float(r.get("guidance", 3.5)),
-                float(r.get("true_cfg_scale", 1.0)),
-                r.get("negative_prompt", "Generate an image."),
+                true_cfg,
+                # the negative prompt only matters when the CFG branch runs
+                (r.get("negative_prompt", "Generate an image.")
+                 if true_cfg > 1.0 else None),
                 int(r.get("num_images_per_prompt", 1)),
             )
 
@@ -470,6 +492,21 @@ class UnivaRuntime:
         if any(r.get("step_callback") for r in reqs):
             raise ValueError("step_callback is not supported in edit_batch")
 
+        # pure-host shape compatibility BEFORE any VLM prefill: a rejected
+        # batch must cost nothing on-device (the executor re-runs it serially)
+        shapes = [
+            self._resolve_shapes(
+                self._as_image_list(r.get("image")),
+                r.get("height"), r.get("width"),
+            )
+            for r in reqs
+        ]
+        if len({(h, w) for h, w, _ in shapes}) != 1:
+            raise ValueError("edit_batch requires one output resolution")
+        if len({tuple(bk) for _, _, bk in shapes}) != 1:
+            raise ValueError("edit_batch requires matching reference buckets")
+        height, width = shapes[0][0], shapes[0][1]
+
         preps = [
             self._prep_edit(
                 r["instruction"], r.get("image"),
@@ -478,11 +515,6 @@ class UnivaRuntime:
             )
             for r in reqs
         ]
-        if len({(p["height"], p["width"]) for p in preps}) != 1:
-            raise ValueError("edit_batch requires one output resolution")
-        if len({tuple(c.shape for c in p["conds"]) for p in preps}) != 1:
-            raise ValueError("edit_batch requires matching reference buckets")
-        height, width = preps[0]["height"], preps[0]["width"]
 
         # shared text bucket: zero rows + zero pad-mask are attention-inert
         max_len = max(p["embeds"].shape[1] for p in preps)

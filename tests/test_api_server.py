@@ -484,6 +484,69 @@ class TestEditBatch:
         out = tiny_rt.edit_batch([{"instruction": "solo", "steps": 1, "seed": 0}])
         assert len(out) == 1 and out[0].mode == "RGB"
 
+    def test_seeded_request_does_not_pollute_shared_rng(self, tiny_rt):
+        import jax
+
+        before = jax.random.key_data(tiny_rt.rng).copy()
+        tiny_rt._prep_edit("seeded", seed=1234)
+        assert (jax.random.key_data(tiny_rt.rng) == before).all()
+        tiny_rt._prep_edit("unseeded")  # only unseeded draws advance it
+        assert not (jax.random.key_data(tiny_rt.rng) == before).all()
+
+    def test_incompatible_shapes_rejected_before_prefill(self, tiny_rt, monkeypatch):
+        def boom(*a, **k):
+            raise AssertionError("VLM prefill ran before the host shape check")
+
+        monkeypatch.setattr(tiny_rt, "_encode_prompt", boom)
+        with pytest.raises(ValueError, match="reference buckets"):
+            tiny_rt.edit_batch([
+                {"instruction": "a", "steps": 1,
+                 "image": Image.new("RGB", (32, 32))},
+                {"instruction": "b", "steps": 1},
+            ])
+
+    def test_negative_prompt_ignored_without_cfg(self, tiny_rt):
+        # cfg off: differing negative prompts are NOT a batch splitter
+        out = tiny_rt.edit_batch([
+            {"instruction": "a", "steps": 1, "seed": 0,
+             "negative_prompt": "one"},
+            {"instruction": "b", "steps": 1, "seed": 1,
+             "negative_prompt": "two"},
+        ])
+        assert len(out) == 2
+
+
+class TestEditSignature:
+    def _parse(self, payload):
+        from gpt_image_edit_tpu.serve.api_server import _parse_edit_request
+
+        return _parse_edit_request(payload)
+
+    def test_distinct_cfg_scales_do_not_coalesce(self):
+        from gpt_image_edit_tpu.serve.api_server import edit_signature
+
+        a = edit_signature(self._parse({"instruction": "x", "true_cfg_scale": 2.0}))
+        b = edit_signature(self._parse({"instruction": "x", "true_cfg_scale": 3.0}))
+        assert a != b
+
+    def test_negative_prompt_only_matters_with_cfg(self):
+        from gpt_image_edit_tpu.serve.api_server import edit_signature
+
+        no_cfg_a = edit_signature(
+            self._parse({"instruction": "x", "negative_prompt": "one"})
+        )
+        no_cfg_b = edit_signature(
+            self._parse({"instruction": "y", "negative_prompt": "two"})
+        )
+        assert no_cfg_a == no_cfg_b
+        cfg_a = edit_signature(self._parse(
+            {"instruction": "x", "true_cfg_scale": 2.0, "negative_prompt": "one"}
+        ))
+        cfg_b = edit_signature(self._parse(
+            {"instruction": "x", "true_cfg_scale": 2.0, "negative_prompt": "two"}
+        ))
+        assert cfg_a != cfg_b
+
 
 # ---------------------------------------------------------------------------
 # end-to-end through the real tiny runtime

@@ -96,3 +96,9 @@ class TestMeshFromArg:
             mesh_from_arg("abc")
         with pytest.raises(ValueError, match="3 axes"):
             mesh_from_arg("2,4")
+        with pytest.raises(ValueError, match="positive"):
+            mesh_from_arg("1,-1,2")  # numpy would treat -1 as a wildcard
+        with pytest.raises(ValueError, match="positive"):
+            mesh_from_arg("0,4,2")
+        with pytest.raises(ValueError, match="devices"):
+            mesh_from_arg("1,8,2")  # 16 > the 8 visible CPU devices
