@@ -18,8 +18,10 @@ dependencies beyond the standard library:
 
 All device work funnels through serve/scheduler.DeviceScheduler: one
 worker thread owns the TPU, the admission queue is bounded (503 on
-overflow), and same-shape edit requests can be coalesced into one
-batched device program (see runtime.edit_batch).
+overflow), queued requests past --queue_timeout_s are dropped (504)
+instead of burning device time for a disconnected client, and
+same-shape edit requests can be coalesced into one batched device
+program (see runtime.edit_batch).
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ from PIL import Image
 
 from gpt_image_edit_tpu.serve.scheduler import (
     BatchItemErrors,
+    DeadlineExceededError,
     DeviceScheduler,
     Job,
     QueueFullError,
@@ -208,7 +211,11 @@ class RuntimeExecutor:
         return {"images": [_image_to_b64(im) for im in images]}
 
 
-def _make_handler(scheduler: DeviceScheduler, runtime: Any):
+def _make_handler(
+    scheduler: DeviceScheduler,
+    runtime: Any,
+    queue_timeout_s: Optional[float] = None,
+):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
         server_version = "gie-tpu"
@@ -262,6 +269,7 @@ def _make_handler(scheduler: DeviceScheduler, runtime: Any):
                     job = scheduler.submit(
                         {"kind": "edit", "body": body},
                         signature=("edit",) + tuple(edit_signature(body) or ()),
+                        queue_timeout_s=queue_timeout_s,
                     )
                     result = job.result()
                     result = dict(result)
@@ -275,7 +283,10 @@ def _make_handler(scheduler: DeviceScheduler, runtime: Any):
                     if "message" in payload and "instruction" not in payload:
                         payload = dict(payload, instruction=payload["message"])
                     body = _parse_edit_request(payload)
-                    job = scheduler.submit({"kind": "chat", "body": body})
+                    job = scheduler.submit(
+                        {"kind": "chat", "body": body},
+                        queue_timeout_s=queue_timeout_s,
+                    )
                     result = dict(job.result())
                     result["request_id"] = job.request_id
                     self._send_json(200, result)
@@ -285,6 +296,8 @@ def _make_handler(scheduler: DeviceScheduler, runtime: Any):
                 self._send_json(e.status, {"error": e.message})
             except QueueFullError as e:
                 self._send_json(503, {"error": str(e), "retry_after_s": 5})
+            except DeadlineExceededError as e:
+                self._send_json(504, {"error": str(e)})
             except SchedulerClosedError:
                 self._send_json(503, {"error": "server shutting down"})
             except BrokenPipeError:
@@ -308,6 +321,7 @@ class ApiServer:
         max_queue: int = 32,
         max_batch: int = 1,
         coalesce_window_s: float = 0.05,
+        queue_timeout_s: Optional[float] = None,
     ):
         self.runtime = runtime
         self.scheduler = DeviceScheduler(
@@ -317,7 +331,8 @@ class ApiServer:
             coalesce_window_s=coalesce_window_s,
         )
         self.httpd = ThreadingHTTPServer(
-            (host, port), _make_handler(self.scheduler, runtime)
+            (host, port),
+            _make_handler(self.scheduler, runtime, queue_timeout_s),
         )
         self.httpd.daemon_threads = True
         self._thread: Optional[threading.Thread] = None
@@ -375,6 +390,9 @@ def main(argv=None):
                    help=">1 coalesces same-shape edit requests into one "
                         "batched device program")
     p.add_argument("--coalesce_window_ms", type=float, default=50.0)
+    p.add_argument("--queue_timeout_s", type=float, default=None,
+                   help="drop queued requests that have not STARTED within "
+                        "this long (504) — the client has usually gone away")
     p.add_argument("--compile_cache", type=str, default=None)
     p.add_argument("--mesh", type=str, default=None,
                    help="multi-chip serving: 'auto' or 'dp,fsdp,tp'")
@@ -403,6 +421,7 @@ def main(argv=None):
         max_queue=args.max_queue,
         max_batch=args.max_batch,
         coalesce_window_s=args.coalesce_window_ms / 1e3,
+        queue_timeout_s=args.queue_timeout_s,
     )
     try:
         server.serve_forever()

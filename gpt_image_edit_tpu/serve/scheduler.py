@@ -44,6 +44,11 @@ class SchedulerClosedError(RuntimeError):
     """Raised when submitting to (or draining from) a shut-down scheduler."""
 
 
+class DeadlineExceededError(RuntimeError):
+    """The job expired in the queue before execution started (the client
+    has usually given up by then; skipping saves the device work)."""
+
+
 @dataclasses.dataclass
 class Job:
     """One admitted request.
@@ -59,6 +64,7 @@ class Job:
         default_factory=lambda: uuid.uuid4().hex[:16]
     )
     enqueued_at: float = dataclasses.field(default_factory=time.monotonic)
+    deadline: Optional[float] = None  # time.monotonic() cutoff for STARTING
     # result plumbing
     _done: threading.Event = dataclasses.field(
         default_factory=threading.Event, repr=False
@@ -147,6 +153,7 @@ class DeviceScheduler:
         self._served = 0
         self._failed = 0
         self._rejected = 0
+        self._expired = 0
         self._batches = 0
         self._latencies: collections.deque[float] = collections.deque(maxlen=512)
 
@@ -157,10 +164,23 @@ class DeviceScheduler:
 
     # ------------------------------------------------------------------
     def submit(
-        self, request: Any, *, signature: Optional[Hashable] = None
+        self,
+        request: Any,
+        *,
+        signature: Optional[Hashable] = None,
+        queue_timeout_s: Optional[float] = None,
     ) -> Job:
-        """Admit a request; returns its Job (call .result() to block)."""
-        job = Job(request=request, signature=signature)
+        """Admit a request; returns its Job (call .result() to block).
+
+        ``queue_timeout_s``: if the job has not STARTED executing within
+        this long, it is dropped with DeadlineExceededError instead of
+        burning device time for a caller that has likely disconnected.
+        """
+        deadline = (
+            time.monotonic() + queue_timeout_s
+            if queue_timeout_s is not None else None
+        )
+        job = Job(request=request, signature=signature, deadline=deadline)
         with self._wakeup:
             if self._closed:
                 raise SchedulerClosedError("scheduler is shut down")
@@ -179,9 +199,12 @@ class DeviceScheduler:
         *,
         signature: Optional[Hashable] = None,
         timeout: Optional[float] = None,
+        queue_timeout_s: Optional[float] = None,
     ) -> Any:
         """submit() + block for the result."""
-        return self.submit(request, signature=signature).result(timeout)
+        return self.submit(
+            request, signature=signature, queue_timeout_s=queue_timeout_s
+        ).result(timeout)
 
     # ------------------------------------------------------------------
     @property
@@ -196,6 +219,7 @@ class DeviceScheduler:
                 "served": self._served,
                 "failed": self._failed,
                 "rejected": self._rejected,
+                "expired": self._expired,
                 "batches": self._batches,
                 "queue_depth": len(self._queue),
                 "max_batch": self.max_batch,
@@ -204,18 +228,36 @@ class DeviceScheduler:
             }
 
     # ------------------------------------------------------------------
+    def _expire_if_overdue(self, job: Job) -> bool:
+        """(lock held) Fail a job whose queue deadline passed; True if so."""
+        if job.deadline is not None and time.monotonic() > job.deadline:
+            self._expired += 1
+            self._failed += 1
+            job.set_error(
+                DeadlineExceededError(
+                    f"request {job.request_id} expired after "
+                    f"{time.monotonic() - job.enqueued_at:.1f}s in queue"
+                )
+            )
+            return True
+        return False
+
     def _collect_batch(self) -> Optional[List[Job]]:
         """Pop the head job plus up to max_batch-1 same-signature peers.
 
         Blocks until a job arrives or shutdown. Returns None on shutdown
-        with an empty queue.
+        with an empty queue. Jobs whose queue deadline has passed are
+        dropped here (DeadlineExceededError) instead of executed.
         """
         with self._wakeup:
-            while not self._queue and not self._closed:
-                self._wakeup.wait()
-            if not self._queue:
-                return None  # closed and drained
-            head = self._queue.popleft()
+            while True:
+                while not self._queue and not self._closed:
+                    self._wakeup.wait()
+                if not self._queue:
+                    return None  # closed and drained
+                head = self._queue.popleft()
+                if not self._expire_if_overdue(head):
+                    break
             batch = [head]
             if self.max_batch > 1 and head.signature is not None:
                 deadline = time.monotonic() + self.coalesce_window_s
@@ -224,7 +266,10 @@ class DeviceScheduler:
                     # FIFO fairness is preserved for *execution start*,
                     # non-matching jobs keep their queue position.
                     took = None
-                    for j in self._queue:
+                    for j in list(self._queue):
+                        if self._expire_if_overdue(j):
+                            self._queue.remove(j)
+                            continue
                         if j.signature == head.signature:
                             took = j
                             break

@@ -150,6 +150,34 @@ class TestDeviceScheduler:
         finally:
             s.shutdown()
 
+    def test_deadline_expires_queued_job(self):
+        from gpt_image_edit_tpu.serve.scheduler import DeadlineExceededError
+
+        release = threading.Event()
+        ran = []
+
+        def ex(jobs):
+            release.wait(5)
+            ran.extend(j.request for j in jobs)
+            return [None for _ in jobs]
+
+        s = DeviceScheduler(ex)
+        try:
+            s.submit(0)  # occupies the worker
+            time.sleep(0.05)
+            doomed = s.submit(1, queue_timeout_s=0.01)
+            no_deadline = s.submit(2)
+            time.sleep(0.1)  # deadline passes while the worker is held
+            release.set()
+            with pytest.raises(DeadlineExceededError):
+                doomed.result(5)
+            assert no_deadline.result(5) is None
+            st = s.stats()
+            assert st["expired"] == 1 and st["failed"] == 1
+            assert 1 not in ran  # never reached the device
+        finally:
+            s.shutdown()
+
     def test_shutdown_fails_pending_and_rejects_new(self):
         release = threading.Event()
 
@@ -310,6 +338,44 @@ class TestApiServer:
             assert "boom" in json.loads(ei.value.read())["error"]
         finally:
             rt.edit = orig
+
+    def test_queue_timeout_504(self):
+        release = threading.Event()
+
+        class SlowRuntime(StubRuntime):
+            def edit(self, instruction, image=None, **kw):
+                release.wait(10)
+                return Image.new("RGB", (4, 4))
+
+        server = ApiServer(
+            SlowRuntime(), "127.0.0.1", 0, queue_timeout_s=0.2
+        )
+        server.start()
+        host, port = server.address[:2]
+        base = f"http://{host}:{port}"
+        try:
+            codes = []
+
+            def fire():
+                try:
+                    codes.append(
+                        _request(f"{base}/v1/edit", {"instruction": "x"})[0]
+                    )
+                except urllib.error.HTTPError as e:
+                    codes.append(e.code)
+
+            t1 = threading.Thread(target=fire)  # occupies the worker
+            t2 = threading.Thread(target=fire)  # expires in queue -> 504
+            t1.start()
+            time.sleep(0.1)
+            t2.start()
+            time.sleep(0.5)  # let t2's deadline lapse while t1 blocks
+            release.set()
+            t1.join(15)
+            t2.join(15)
+            assert sorted(codes) == [200, 504]
+        finally:
+            server.shutdown()
 
     def test_backpressure_503(self):
         release = threading.Event()
