@@ -12,6 +12,8 @@ dependencies beyond the standard library:
                     "guidance", "true_cfg_scale", "negative_prompt",
                     "height", "width", "seed", "num_images_per_prompt"}
                    -> {"request_id", "images": [b64 PNG], "latency_ms"}
+                   with "stream": true -> text/event-stream: per-step
+                   `step` events then one `result` (or `error`) event
   POST /v1/chat    {"message": str, "image"?: b64} -> routed single turn:
                    {"type": "image", "images": [...]} or
                    {"type": "text", "text": ...}
@@ -153,13 +155,32 @@ def edit_signature(req: dict) -> Optional[tuple]:
     )
 
 
+# --- streaming progress plumbing -------------------------------------------
+# The denoise scan's step_callback is a STATIC jit argument: every distinct
+# function object compiles its own program. One module-level callback +
+# a current-sink slot keeps streamed requests on a single cached variant
+# (exactly two compiled scans total: with/without progress — same shape as
+# the reference's Gradio progress path, ref:app.py:308-313). The slot is
+# safe un-locked because ONE scheduler worker owns the device: at most one
+# job executes (and therefore streams) at a time.
+_PROGRESS_SINK: List[Any] = [None]
+
+
+def _progress_cb(step_idx) -> None:
+    sink = _PROGRESS_SINK[0]
+    if sink is not None:
+        sink.put(("step", int(step_idx)))
+
+
 class RuntimeExecutor:
     """Bridges scheduler Jobs to a UnivaRuntime.
 
     Edit jobs with a shared signature run through ``runtime.edit_batch``
     when available (one batched scan for the whole group); otherwise —
     and for chat jobs, which carry routing state — jobs run serially
-    with per-item error isolation.
+    with per-item error isolation. Jobs carrying a ``progress`` queue
+    (streaming clients) get per-step events via the stable module
+    callback above.
     """
 
     def __init__(self, runtime: Any):
@@ -194,7 +215,16 @@ class RuntimeExecutor:
     def _run_one(self, request: dict) -> dict:
         kind, body = request["kind"], request["body"]
         if kind == "edit":
-            out = self.runtime.edit(**_edit_kwargs(body))
+            sink = request.get("progress")
+            kwargs = _edit_kwargs(body)
+            if sink is not None:
+                _PROGRESS_SINK[0] = sink
+                kwargs["step_callback"] = _progress_cb
+            try:
+                out = self.runtime.edit(**kwargs)
+            finally:
+                if sink is not None:
+                    _PROGRESS_SINK[0] = None
             return self._edit_response(out)
         if kind == "chat":
             imgs = body["images"]
@@ -262,10 +292,65 @@ def _make_handler(
             else:
                 self._send_json(404, {"error": "not found"})
 
+        def _stream_edit(self, body: dict) -> None:
+            """Server-sent events: per-step progress, then the result.
+            Streamed jobs never coalesce (signature None) — the step
+            events belong to exactly one client."""
+            import queue as _queue
+
+            sink: "_queue.Queue" = _queue.Queue()
+            job = scheduler.submit(
+                {"kind": "edit", "body": body, "progress": sink},
+                queue_timeout_s=queue_timeout_s,
+            )
+            total = body.get("steps", 28)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            self.close_connection = True
+
+            def emit(event: str, data: dict) -> None:
+                self.wfile.write(
+                    f"event: {event}\ndata: {json.dumps(data)}\n\n".encode()
+                )
+                self.wfile.flush()
+
+            def drain(block: bool) -> None:
+                while True:
+                    try:
+                        _, step = sink.get(timeout=0.25 if block else 0.0)
+                    except _queue.Empty:
+                        return
+                    emit("step", {"step": step, "total": total})
+
+            try:
+                while not job.done:
+                    drain(block=True)
+                drain(block=False)  # events that landed after the last poll
+                try:
+                    result = dict(job.result(0))
+                    result["request_id"] = job.request_id
+                    result["latency_ms"] = round(
+                        (job.finished_at - job.enqueued_at) * 1e3, 1
+                    )
+                    emit("result", result)
+                except Exception as e:  # noqa: BLE001 — headers already sent
+                    emit("error", {"error": f"{type(e).__name__}: {e}"})
+            except BrokenPipeError:
+                pass  # client hung up mid-stream
+
         def do_POST(self):  # noqa: N802 — http.server API
             try:
                 if self.path == "/v1/edit":
-                    body = _parse_edit_request(self._read_json())
+                    payload = self._read_json()
+                    stream = bool(payload.pop("stream", False)) if isinstance(
+                        payload, dict
+                    ) else False
+                    body = _parse_edit_request(payload)
+                    if stream:
+                        return self._stream_edit(body)
                     job = scheduler.submit(
                         {"kind": "edit", "body": body},
                         signature=("edit",) + tuple(edit_signature(body) or ()),

@@ -216,6 +216,10 @@ class StubRuntime:
     def edit(self, instruction, image=None, **kw):
         with self.lock:
             self.edit_calls.append((instruction, image, kw))
+        cb = kw.get("step_callback")
+        if cb is not None:
+            for i in range(kw.get("steps", 28)):
+                cb(i)
         n = kw.get("num_images_per_prompt", 1)
         imgs = [Image.new("RGB", (4, 4), (0, 255, 0)) for _ in range(n)]
         return imgs if n > 1 else imgs[0]
@@ -236,7 +240,8 @@ def _request(url, payload=None, method=None):
         )
     else:
         req = urllib.request.Request(url, method=method or "GET")
-    with urllib.request.urlopen(req, timeout=30) as r:
+    # generous: tiny-runtime compiles can take minutes on a loaded CI CPU
+    with urllib.request.urlopen(req, timeout=600) as r:
         return r.status, json.loads(r.read())
 
 
@@ -320,6 +325,46 @@ class TestApiServer:
             _request(f"{base}/v1/edit", payload)
         assert ei.value.code == 400
         assert frag in json.loads(ei.value.read())["error"]
+
+    def test_streaming_edit_sse(self, stub_server):
+        _, base = stub_server
+        req = urllib.request.Request(
+            f"{base}/v1/edit",
+            data=json.dumps(
+                {"instruction": "go", "steps": 3, "stream": True}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "text/event-stream"
+            raw = r.read().decode()
+        events = []
+        for block in raw.strip().split("\n\n"):
+            lines = dict(l.split(": ", 1) for l in block.splitlines())
+            events.append((lines["event"], json.loads(lines["data"])))
+        steps = [d["step"] for e, d in events if e == "step"]
+        assert steps == [0, 1, 2]
+        assert all(d["total"] == 3 for e, d in events if e == "step")
+        final = events[-1]
+        assert final[0] == "result"
+        assert final[1]["images"] and final[1]["request_id"]
+
+    def test_streaming_edit_error_event(self, stub_server):
+        rt, base = stub_server
+        orig = rt.edit
+        rt.edit = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("mid-flight"))
+        try:
+            req = urllib.request.Request(
+                f"{base}/v1/edit",
+                data=json.dumps({"instruction": "x", "stream": True}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                raw = r.read().decode()
+            assert "event: error" in raw and "mid-flight" in raw
+        finally:
+            rt.edit = orig
 
     def test_unknown_route_404(self, stub_server):
         _, base = stub_server
@@ -618,11 +663,8 @@ class TestEditSignature:
 # end-to-end through the real tiny runtime
 # ---------------------------------------------------------------------------
 class TestTinyRuntimeIntegration:
-    def test_edit_over_http(self):
-        from gpt_image_edit_tpu.serve.runtime import UnivaRuntime
-
-        rt = UnivaRuntime(tiny=True)
-        with ApiServer(rt, "127.0.0.1", 0) as server:
+    def test_edit_over_http(self, tiny_rt):
+        with ApiServer(tiny_rt, "127.0.0.1", 0) as server:
             host, port = server.address[:2]
             status, body = _request(
                 f"http://{host}:{port}/v1/edit",
@@ -636,3 +678,26 @@ class TestTinyRuntimeIntegration:
             assert status == 200
             img = Image.open(io.BytesIO(base64.b64decode(body["images"][0])))
             assert img.size[0] > 0 and img.mode == "RGB"
+
+    def test_streaming_edit_real_scan_callback(self, tiny_rt):
+        # the real path: jax.debug.callback inside the lax.scan feeds the
+        # SSE sink through the one stable module-level callback
+        with ApiServer(tiny_rt, "127.0.0.1", 0) as server:
+            host, port = server.address[:2]
+            req = urllib.request.Request(
+                f"http://{host}:{port}/v1/edit",
+                data=json.dumps(
+                    {"instruction": "stream it", "steps": 2,
+                     "seed": 4, "stream": True}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                raw = r.read().decode()
+        events = []
+        for block in raw.strip().split("\n\n"):
+            lines = dict(l.split(": ", 1) for l in block.splitlines())
+            events.append((lines["event"], json.loads(lines["data"])))
+        steps = [d["step"] for e, d in events if e == "step"]
+        assert steps == [0, 1]
+        assert events[-1][0] == "result" and events[-1][1]["images"]
