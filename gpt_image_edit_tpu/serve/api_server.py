@@ -8,6 +8,7 @@ dependencies beyond the standard library:
 
   GET  /healthz    liveness + device backend + queue depth
   GET  /v1/stats   scheduler counters (served/failed/rejected, p50/p95)
+  GET  /metrics    the same counters in Prometheus text format
   POST /v1/edit    {"instruction": str, "image"|"images": b64, "steps",
                     "guidance", "true_cfg_scale", "negative_prompt",
                     "height", "width", "seed", "num_images_per_prompt"}
@@ -289,6 +290,25 @@ def _make_handler(
                 )
             elif self.path == "/v1/stats":
                 self._send_json(200, scheduler.stats())
+            elif self.path == "/metrics":
+                st = scheduler.stats()
+                lines = []
+                for key, val in sorted(st.items()):
+                    name = f"gie_{key}"
+                    kind = "gauge" if key in (
+                        "queue_depth", "max_batch",
+                        "latency_p50_s", "latency_p95_s",
+                    ) else "counter"
+                    lines.append(f"# TYPE {name} {kind}")
+                    lines.append(f"{name} {val}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send_json(404, {"error": "not found"})
 
@@ -338,8 +358,9 @@ def _make_handler(
                     emit("result", result)
                 except Exception as e:  # noqa: BLE001 — headers already sent
                     emit("error", {"error": f"{type(e).__name__}: {e}"})
-            except BrokenPipeError:
-                pass  # client hung up mid-stream
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client hung up mid-stream (headers already sent,
+                # so no JSON error response is possible or needed)
 
         def do_POST(self):  # noqa: N802 — http.server API
             try:
@@ -508,6 +529,20 @@ def main(argv=None):
         coalesce_window_s=args.coalesce_window_ms / 1e3,
         queue_timeout_s=args.queue_timeout_s,
     )
+
+    # graceful drain (the serving analogue of training's PreemptionGuard):
+    # SIGTERM/SIGINT stops the listener — in-flight requests finish because
+    # shutdown() joins the worker before exiting
+    import signal
+
+    def _drain(signum, frame):
+        log.info("signal %d: draining and shutting down", signum)
+        import threading as _t
+
+        _t.Thread(target=server.httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _drain)
+    signal.signal(signal.SIGINT, _drain)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -264,6 +264,19 @@ class TestApiServer:
         status, body = _request(f"{base}/v1/stats")
         assert status == 200 and "served" in body
 
+    def test_metrics_prometheus_format(self, stub_server):
+        _, base = stub_server
+        req = urllib.request.Request(f"{base}/metrics")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert "# TYPE gie_served counter" in text
+        assert "# TYPE gie_queue_depth gauge" in text
+        # every line is either a comment or `name value`
+        for line in text.strip().splitlines():
+            assert line.startswith("# ") or len(line.split(" ")) == 2
+
     def test_edit_roundtrip(self, stub_server):
         rt, base = stub_server
         status, body = _request(
