@@ -526,6 +526,56 @@ class TestExecutorSerialFallback:
 
 
 # ---------------------------------------------------------------------------
+# client SDK over the stub server
+# ---------------------------------------------------------------------------
+class TestApiClient:
+    def _client(self, stub_server):
+        from gpt_image_edit_tpu.serve.client import ApiClient
+
+        _, base = stub_server
+        return ApiClient(base, timeout=60)
+
+    def test_health_stats_metrics(self, stub_server):
+        c = self._client(stub_server)
+        assert c.healthz()["status"] == "ok"
+        assert "served" in c.stats()
+        assert "gie_served" in c.metrics()
+
+    def test_edit_roundtrip(self, stub_server):
+        rt, _ = stub_server
+        c = self._client(stub_server)
+        img = Image.new("RGB", (8, 8), (1, 2, 3))
+        outs = c.edit("do it", [img], steps=2, seed=9)
+        assert len(outs) == 1 and outs[0].size == (4, 4)
+        _, sent, kw = rt.edit_calls[-1]
+        assert sent.size == (8, 8) and kw["steps"] == 2
+
+    def test_edit_stream_progress(self, stub_server):
+        c = self._client(stub_server)
+        steps = []
+        outs = c.edit_stream(
+            "go", steps=3, on_step=lambda i, n: steps.append((i, n))
+        )
+        assert steps == [(0, 3), (1, 3), (2, 3)]
+        assert len(outs) == 1
+
+    def test_chat_text_and_image(self, stub_server):
+        c = self._client(stub_server)
+        out = c.chat("hello?")
+        assert out["type"] == "text" and out["text"] == "echo: hello?"
+        out = c.chat("edit", Image.new("RGB", (8, 8)))
+        assert out["type"] == "image" and out["images"][0].size == (4, 4)
+
+    def test_error_mapping(self, stub_server):
+        from gpt_image_edit_tpu.serve.client import ApiClientError
+
+        c = self._client(stub_server)
+        with pytest.raises(ApiClientError) as ei:
+            c.edit("")  # empty instruction -> 400
+        assert ei.value.status == 400 and "instruction" in ei.value.message
+
+
+# ---------------------------------------------------------------------------
 # batched sampling through the real tiny runtime
 # ---------------------------------------------------------------------------
 import numpy as np  # noqa: E402
