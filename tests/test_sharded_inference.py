@@ -68,6 +68,23 @@ class TestShardedRuntime:
         # VLM prefill -> a few pixels move by a couple of 8-bit steps
         assert diff.max() <= 4 and diff.mean() <= 0.5
 
+    def test_quantized_mesh_serving(self):
+        """--quantize w8a8 + --mesh together: the int8 payloads shard and
+        the full edit still runs (the single-chip fidelity suite covers
+        numerics; this guards the composition)."""
+        from PIL import Image
+
+        from gpt_image_edit_tpu.serve.runtime import UnivaRuntime
+
+        mesh = build_mesh(8, shape=(1, 4, 2))
+        rt = UnivaRuntime(tiny=True, mesh=mesh, quantize="w8a8")
+        out = rt.edit(
+            "quantized sharded edit",
+            Image.new("RGB", (32, 32), (10, 20, 200)),
+            steps=2, seed=1,
+        )
+        assert out.size == (32, 32)
+
     def test_mesh_offload_mutually_exclusive(self):
         import pytest
 
