@@ -502,6 +502,13 @@ def main(argv=None):
     p.add_argument("--compile_cache", type=str, default=None)
     p.add_argument("--mesh", type=str, default=None,
                    help="multi-chip serving: 'auto' or 'dp,fsdp,tp'")
+    p.add_argument("--warmup", type=str, default=None, nargs="?",
+                   const="1024x1024:28",
+                   help="pre-compile the serving program for WxH[:steps] "
+                        "(bare flag: 1024x1024:28) BEFORE accepting traffic "
+                        "— the first real request at that shape/step count "
+                        "then skips the ~6-8 min scan compile (steps is a "
+                        "static jit argument, so warm the production count)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -520,6 +527,26 @@ def main(argv=None):
         offload=args.offload,
         mesh=mesh_from_arg(args.mesh),
     )
+    if args.warmup:
+        import time as _time
+
+        try:
+            size, _, steps_s = args.warmup.lower().partition(":")
+            w, h = (int(x) for x in size.split("x"))
+            warm_steps = int(steps_s) if steps_s else 28
+        except ValueError:
+            raise SystemExit(f"--warmup must be WxH[:steps], got {args.warmup!r}")
+        from PIL import Image as _Image
+
+        log.info("warmup: compiling the %dx%d %d-step serving program...",
+                 w, h, warm_steps)
+        t0 = _time.perf_counter()
+        runtime.edit(
+            "warmup", _Image.new("RGB", (w, h)),
+            steps=warm_steps, height=h, width=w, seed=0,
+        )
+        log.info("warmup done in %.1fs", _time.perf_counter() - t0)
+
     server = ApiServer(
         runtime,
         args.host,
