@@ -630,6 +630,42 @@ class UnivaRuntime:
     def reset_chat(self):
         self.conversation: List[dict] = []
         self.history_images = []
+        self._cond_cache: dict = {}
+
+    _COND_CACHE_MAX = 64  # per-image packed latents are ~0.5MB each
+
+    def _encode_history_conds(self, images: List[Image.Image], buckets):
+        """(packed (1, S, 64), ids (S, 3)) for the history conditioning set.
+
+        Beyond the reference (which VAE-re-encodes EVERY history image on
+        every turn, ref:app.py:286-303): per-image latents are cached by
+        image identity + bucket, so turn K only encodes the images that are
+        new since turn K-1. Bit-identical to re-encoding (the VAE encode is
+        deterministic); the cache dies with reset_chat()."""
+        from gpt_image_edit_tpu.ops.packing import latent_image_ids
+
+        packed_list, ids_list = [], []
+        down = self.vcfg.downscale
+        for k, (im, (bh, bw)) in enumerate(zip(images, buckets)):
+            key = (id(im), im.size, bh, bw)
+            lat = self._cond_cache.get(key)
+            if lat is None:
+                px = jnp.asarray(preprocess_vae_image(im, bh, bw))[None]
+                lat, _ = self.pipe.encode_reference(px)
+                if len(self._cond_cache) >= self._COND_CACHE_MAX:
+                    self._cond_cache.pop(next(iter(self._cond_cache)))
+                self._cond_cache[key] = lat
+            packed_list.append(lat)
+            # rope ids: the k-th reference gets modality k+1 (matches
+            # pipe.encode_reference/encode_references)
+            ids_list.append(
+                latent_image_ids((bh // down) // 2, (bw // down) // 2,
+                                 modality=k + 1)
+            )
+        return (
+            jnp.concatenate(packed_list, axis=1),
+            jnp.concatenate(ids_list, axis=0),
+        )
 
     def chat_turn(
         self,
@@ -690,25 +726,25 @@ class UnivaRuntime:
                      jnp.ones((1, t5_embeds.shape[1]), txt_pad_mask.dtype)],
                     axis=1,
                 )
-            first = self.history_images[0] if self.history_images else None
-            height, width = update_size(first)
-            if self.vcfg.downscale != 8:
-                height = width = 8 * self.vcfg.downscale
-            conds = []
-            for im in self.history_images:
-                bw, bh = pick_kontext_resolution(im.width, im.height)
-                if self.vcfg.downscale != 8:
-                    bw = bh = height
-                conds.append(jnp.asarray(preprocess_vae_image(im, bh, bw))[None])
-            cond = conds if len(conds) > 1 else (conds[0] if conds else None)
+            height, width, buckets = self._resolve_shapes(
+                self.history_images, None, None
+            )
+            image_latents = image_ids = None
+            if self.history_images:
+                image_latents, image_ids = self._encode_history_conds(
+                    self.history_images, buckets
+                )
             seed = edit_kw.pop("seed", None)
-            rng = jax.random.key(seed) if seed is not None else self.rng
-            self.rng, sample_rng = jax.random.split(rng)
+            if seed is not None:
+                sample_rng = jax.random.split(jax.random.key(seed))[1]
+            else:
+                self.rng, sample_rng = jax.random.split(self.rng)
             self._evict_vlm()  # offload: VLM HBM copy freed before the scan
             out = self.pipe(
                 prompt_embeds=embeds.astype(jnp.bfloat16),
                 pooled_prompt_embeds=pooled.astype(jnp.bfloat16),
-                image=cond,
+                image_latents=image_latents,
+                image_ids=image_ids,
                 height=height, width=width,
                 num_inference_steps=edit_kw.pop("steps", 28),
                 guidance_scale=edit_kw.pop("guidance", 3.5),

@@ -72,6 +72,31 @@ class TestChatTurn:
         assert len(rt.history_images) == 2
 
 
+class TestHistoryLatentCache:
+    def test_only_new_images_encoded_per_turn(self):
+        rt = UnivaRuntime(tiny=True)
+        calls = {"n": 0}
+        orig = rt.pipe.encode_reference
+
+        def counting(px):
+            calls["n"] += 1
+            return orig(px)
+
+        rt.pipe.encode_reference = counting
+        img = Image.new("RGB", (32, 32), (5, 5, 5))
+        out1, _ = rt.chat_turn("edit this", [img], steps=1, seed=0)
+        assert out1 is not None
+        n_first = calls["n"]
+        assert n_first == 1  # the one input image
+        out2, _ = rt.chat_turn("again", None, steps=1, seed=1)
+        assert out2 is not None
+        # turn 2 conditions on [img, out1]: img is cache-hit, only the
+        # generated out1 is newly encoded (the reference re-encodes both)
+        assert calls["n"] == n_first + 1
+        rt.reset_chat()
+        assert rt._cond_cache == {}
+
+
 class TestEditPaths:
     def test_true_cfg_negative_branch(self):
         """True-CFG with the hardcoded negative prompt: positive/negative
