@@ -225,6 +225,13 @@ class RuntimeExecutor:
                 out = self.runtime.edit(**kwargs)
             finally:
                 if sink is not None:
+                    # debug.callback delivery is async wrt the fetched
+                    # result: flush stragglers BEFORE releasing the sink,
+                    # or a late step event could leak into the next
+                    # streamed job's SSE stream
+                    import jax
+
+                    jax.effects_barrier()
                     _PROGRESS_SINK[0] = None
             return self._edit_response(out)
         if kind == "chat":
@@ -366,9 +373,13 @@ def _make_handler(
             try:
                 if self.path == "/v1/edit":
                     payload = self._read_json()
-                    stream = bool(payload.pop("stream", False)) if isinstance(
+                    stream = payload.pop("stream", False) if isinstance(
                         payload, dict
                     ) else False
+                    if not isinstance(stream, bool):
+                        # bool("false") is True — reject instead of
+                        # silently switching the response format to SSE
+                        raise ApiError(400, "'stream' must be a boolean")
                     body = _parse_edit_request(payload)
                     if stream:
                         return self._stream_edit(body)
@@ -458,10 +469,14 @@ class ApiServer:
     def serve_forever(self) -> None:
         self.httpd.serve_forever()
 
-    def shutdown(self) -> None:
+    def shutdown(self, *, drain_timeout_s: float = 600.0) -> None:
+        """Stop accepting, then wait up to ``drain_timeout_s`` for the
+        in-flight job (a production edit or even a first-request compile
+        can run many minutes — the default 30s scheduler join would kill
+        the worker mid-request on SIGTERM)."""
         self.httpd.shutdown()
         self.httpd.server_close()
-        self.scheduler.shutdown()
+        self.scheduler.shutdown(timeout=drain_timeout_s)
         if self._thread is not None:
             self._thread.join(10)
 
@@ -527,6 +542,19 @@ def main(argv=None):
         offload=args.offload,
         mesh=mesh_from_arg(args.mesh),
     )
+    # bind BEFORE warmup: a port conflict must fail in milliseconds, not
+    # after the 6-8 min compile; connections queue in the TCP backlog
+    # until serve_forever starts accepting
+    server = ApiServer(
+        runtime,
+        args.host,
+        args.port,
+        max_queue=args.max_queue,
+        max_batch=args.max_batch,
+        coalesce_window_s=args.coalesce_window_ms / 1e3,
+        queue_timeout_s=args.queue_timeout_s,
+    )
+
     if args.warmup:
         import time as _time
 
@@ -538,24 +566,20 @@ def main(argv=None):
             raise SystemExit(f"--warmup must be WxH[:steps], got {args.warmup!r}")
         from PIL import Image as _Image
 
-        log.info("warmup: compiling the %dx%d %d-step serving program...",
-                 w, h, warm_steps)
-        t0 = _time.perf_counter()
-        runtime.edit(
-            "warmup", _Image.new("RGB", (w, h)),
-            steps=warm_steps, height=h, width=w, seed=0,
-        )
-        log.info("warmup done in %.1fs", _time.perf_counter() - t0)
-
-    server = ApiServer(
-        runtime,
-        args.host,
-        args.port,
-        max_queue=args.max_queue,
-        max_batch=args.max_batch,
-        coalesce_window_s=args.coalesce_window_ms / 1e3,
-        queue_timeout_s=args.queue_timeout_s,
-    )
+        # both jit variants: step_callback is a static argument, so plain
+        # and streamed requests compile different programs — warm each
+        # (the persistent compile cache makes the cost one-time)
+        for label, cb in (("plain", None), ("streamed", _progress_cb)):
+            log.info("warmup (%s): compiling the %dx%d %d-step program...",
+                     label, w, h, warm_steps)
+            t0 = _time.perf_counter()
+            runtime.edit(
+                "warmup", _Image.new("RGB", (w, h)),
+                steps=warm_steps, height=h, width=w, seed=0,
+                step_callback=cb,
+            )
+            log.info("warmup (%s) done in %.1fs",
+                     label, _time.perf_counter() - t0)
 
     # graceful drain (the serving analogue of training's PreemptionGuard):
     # SIGTERM/SIGINT stops the listener — in-flight requests finish because

@@ -533,9 +533,7 @@ class UnivaRuntime:
 
         from gpt_image_edit_tpu.ops.packing import pack_latents
 
-        embeds_rows, mask_rows, pooled_rows = [], [], []
-        latent_rows, cond_rows = [], []
-        image_ids = None
+        embeds_rows, mask_rows, pooled_rows, latent_rows = [], [], [], []
         for p in preps:
             e, m = _pad_txt(p["embeds"].astype(jnp.bfloat16), p["txt_pad_mask"])
             embeds_rows.append(jnp.repeat(e, n, axis=0))
@@ -550,16 +548,6 @@ class UnivaRuntime:
                 dtype=jnp.float32,
             ).astype(jnp.bfloat16)
             latent_rows.append(pack_latents(noise))
-            if p["conds"]:
-                # encode each reference ONCE per request, tile the packed
-                # latents across the n samples (row-identical to the solo
-                # path, which tiles pixels and re-encodes duplicates)
-                if len(p["conds"]) > 1:
-                    lat, ids = self.pipe.encode_references(p["conds"])
-                else:
-                    lat, ids = self.pipe.encode_reference(p["conds"][0])
-                image_ids = ids
-                cond_rows.append(jnp.repeat(lat.astype(jnp.bfloat16), n, axis=0))
 
         neg_embeds = neg_pooled = neg_txt_pad_mask = None
         total = len(reqs) * n
@@ -570,7 +558,29 @@ class UnivaRuntime:
             neg_pooled = jnp.repeat(np_, total, axis=0)
             neg_txt_pad_mask = jnp.repeat(nm, total, axis=0)
 
-        self._evict_vlm()  # offload: VLM HBM copy freed before the scan
+        # offload: VLM prefills are done — barrier on their outputs and
+        # free the VLM HBM copy BEFORE the ref encodes stage the VAE
+        # (one-component peak); harmless no-ops when offload is off
+        if self.offload:
+            from gpt_image_edit_tpu.utils.offload import sync as _sync
+
+            _sync(embeds_rows[-1])
+            if neg_embeds is not None:
+                _sync(neg_embeds)
+        self._evict_vlm()
+
+        cond_rows, image_ids = [], None
+        for p in preps:
+            if p["conds"]:
+                # encode each reference ONCE per request, tile the packed
+                # latents across the n samples (row-identical to the solo
+                # path, which tiles pixels and re-encodes duplicates)
+                if len(p["conds"]) > 1:
+                    lat, ids = self.pipe.encode_references(p["conds"])
+                else:
+                    lat, ids = self.pipe.encode_reference(p["conds"][0])
+                image_ids = ids
+                cond_rows.append(jnp.repeat(lat.astype(jnp.bfloat16), n, axis=0))
         out = self.pipe(
             prompt_embeds=jnp.concatenate(embeds_rows, axis=0),
             pooled_prompt_embeds=jnp.concatenate(pooled_rows, axis=0),
@@ -634,7 +644,8 @@ class UnivaRuntime:
 
     _COND_CACHE_MAX = 64  # per-image packed latents are ~0.5MB each
 
-    def _encode_history_conds(self, images: List[Image.Image], buckets):
+    def _encode_history_conds(self, images: List[Image.Image], buckets,
+                              sync_on=None):
         """(packed (1, S, 64), ids (S, 3)) for the history conditioning set.
 
         Beyond the reference (which VAE-re-encodes EVERY history image on
@@ -646,6 +657,20 @@ class UnivaRuntime:
 
         packed_list, ids_list = [], []
         down = self.vcfg.downscale
+        cold = any(
+            (id(im), im.size, bh, bw) not in self._cond_cache
+            for im, (bh, bw) in zip(images, buckets)
+        )
+        if cold and self.offload:
+            # staging the VAE while the VLM HBM copy is live would break
+            # the one-component-peak contract: barrier on the prefill
+            # outputs (dispatch is async on axon), then evict the VLM
+            # BEFORE the first encode stages the VAE (idempotent later)
+            from gpt_image_edit_tpu.utils.offload import sync as _sync
+
+            if sync_on is not None:
+                _sync(sync_on)
+            self._evict_vlm()
         for k, (im, (bh, bw)) in enumerate(zip(images, buckets)):
             key = (id(im), im.size, bh, bw)
             lat = self._cond_cache.get(key)
@@ -732,7 +757,7 @@ class UnivaRuntime:
             image_latents = image_ids = None
             if self.history_images:
                 image_latents, image_ids = self._encode_history_conds(
-                    self.history_images, buckets
+                    self.history_images, buckets, sync_on=embeds
                 )
             seed = edit_kw.pop("seed", None)
             if seed is not None:

@@ -185,6 +185,13 @@ class DeviceScheduler:
             if self._closed:
                 raise SchedulerClosedError("scheduler is shut down")
             if len(self._queue) >= self.max_queue:
+                # sweep overdue entries before rejecting: expired jobs must
+                # not hold admission slots (and their callers get the 504
+                # now instead of when the busy worker finally pops them)
+                self._queue = collections.deque(
+                    j for j in self._queue if not self._expire_if_overdue(j)
+                )
+            if len(self._queue) >= self.max_queue:
                 self._rejected += 1
                 raise QueueFullError(
                     f"queue full ({self.max_queue} pending); retry later"

@@ -22,12 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def _percentile(sorted_vals, q):
-    if not sorted_vals:
-        return 0.0
-    idx = min(len(sorted_vals) - 1, max(0, round(q * (len(sorted_vals) - 1))))
-    return sorted_vals[idx]
+from gpt_image_edit_tpu.serve.scheduler import _percentile  # noqa: E402
 
 
 def main(argv=None) -> int:

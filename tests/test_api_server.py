@@ -178,6 +178,30 @@ class TestDeviceScheduler:
         finally:
             s.shutdown()
 
+    def test_expired_jobs_swept_on_full_submit(self):
+        from gpt_image_edit_tpu.serve.scheduler import DeadlineExceededError
+
+        release = threading.Event()
+
+        def ex(jobs):
+            release.wait(5)
+            return [None for _ in jobs]
+
+        s = DeviceScheduler(ex, max_queue=1)
+        try:
+            s.submit(0)  # occupies the worker
+            time.sleep(0.05)
+            dead = s.submit(1, queue_timeout_s=0.01)
+            time.sleep(0.05)  # deadline lapses; queue is nominally full
+            ok = s.submit(2)  # sweeps the corpse instead of raising 503
+            release.set()
+            with pytest.raises(DeadlineExceededError):
+                dead.result(5)
+            assert ok.result(5) is None
+            assert s.stats()["expired"] == 1
+        finally:
+            s.shutdown()
+
     def test_shutdown_fails_pending_and_rejects_new(self):
         release = threading.Event()
 
@@ -330,6 +354,7 @@ class TestApiServer:
             ({"instruction": "x", "image": "!!notb64!!"}, "invalid image"),
             ({"instruction": "x", "steps": 0}, "steps"),
             ({"instruction": "x", "num_images_per_prompt": 99}, "num_images"),
+            ({"instruction": "x", "stream": "false"}, "boolean"),
         ],
     )
     def test_bad_requests_400(self, stub_server, payload, frag):

@@ -96,6 +96,25 @@ class TestHistoryLatentCache:
         rt.reset_chat()
         assert rt._cond_cache == {}
 
+    def test_chat_turn_offload_evicts_vlm_before_vae_stage(self):
+        """Under --offload the cold ref encode must not stage the VAE while
+        the VLM HBM copy is live (one-component peak)."""
+        rt = UnivaRuntime(tiny=True, offload=True)
+        orig = rt.pipe.encode_reference
+        seen = []
+
+        def checking(px):
+            seen.append("vlm" in rt._store._staged)
+            return orig(px)
+
+        rt.pipe.encode_reference = checking
+        out, _ = rt.chat_turn(
+            "edit", [Image.new("RGB", (32, 32), (9, 9, 9))], steps=1, seed=0
+        )
+        assert out is not None
+        assert seen and not any(seen)  # VLM evicted before every encode
+        assert rt._store.idle and rt.pipe._store.idle  # idle = zero HBM
+
 
 class TestEditPaths:
     def test_true_cfg_negative_branch(self):
