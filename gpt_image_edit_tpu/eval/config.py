@@ -28,6 +28,9 @@ class EvalConfig:
     quantize: Optional[str] = None     # int8 | w8a8 | w8a8-attn | w8a8-qk8
     quantize_vlm: "bool | str" = False  # True/"int8" weight-only | "w8a8"
     vae_dtype: str = "bfloat16"
+    # >1 (beyond ref): consecutive same-shape samples generate as ONE
+    # batched denoise scan (runtime.edit_batch); outputs identical
+    batch_size: int = 1
     # benchmark-specific paths
     data_json: Optional[str] = None    # sample list
     image_root: Optional[str] = None   # source image root

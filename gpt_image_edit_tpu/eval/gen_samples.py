@@ -43,24 +43,68 @@ def generate_samples(
         )
 
     shard = samples[cfg.rank :: cfg.world_size]
-    written = []
+    written: List[str] = []
+
+    def _write(out_path: str, img: Image.Image) -> None:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        img.save(out_path)
+        written.append(out_path)
+        log.info("wrote %s", out_path)
+
+    def _req(prompt: str, image) -> dict:
+        return {
+            "instruction": prompt,
+            "image": image,
+            "steps": cfg.num_inference_steps,
+            "guidance": cfg.guidance_scale,
+            "seed": cfg.seed,
+        }
+
+    # batch_size > 1 (beyond ref): CONSECUTIVE same-shape samples run as one
+    # batched scan via runtime.edit_batch — benchmark sets are mostly
+    # shape-homogeneous, so consecutive grouping captures the win while
+    # holding at most batch_size images in memory. Identical outputs: each
+    # request's noise comes from cfg.seed exactly as the serial path draws it.
+    bsz = max(1, int(getattr(cfg, "batch_size", 1) or 1))
+    pending: List = []  # [(out_path, request, shape_key)]
+
+    def _flush() -> None:
+        if not pending:
+            return
+        items, reqs = [p[:2] for p in pending], [p[1] for p in pending]
+        try:
+            outs = (
+                runtime.edit_batch([dict(r) for r in reqs])
+                if len(reqs) > 1 else [runtime.edit(**reqs[0])]
+            )
+        except Exception as e:  # noqa: BLE001 — degrade, don't lose the run
+            log.warning("batch of %d failed (%s); running serially",
+                        len(reqs), e)
+            outs = [runtime.edit(**r) for r in reqs]
+        for (out_path, _), img in zip(items, outs):
+            _write(out_path, img)
+        pending.clear()
+
     for s in shard:
         key = key_fn(s)
         out_path = os.path.join(cfg.output_dir, f"{key}.png")
         if os.path.exists(out_path):  # resumable
             continue
         image = image_fn(s, cfg) if image_fn else None
-        result = runtime.edit(
-            prompt_fn(s),
-            image,
-            steps=cfg.num_inference_steps,
-            guidance=cfg.guidance_scale,
-            seed=cfg.seed,
+        req = _req(prompt_fn(s), image)
+        if bsz == 1 or not hasattr(runtime, "edit_batch"):
+            try:
+                _write(out_path, runtime.edit(**req))
+            except Exception:
+                log.exception("sample %s failed; continuing", key)
+            continue
+        shape_key = runtime._resolve_shapes(
+            runtime._as_image_list(image), None, None
         )
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        result.save(out_path)
-        written.append(out_path)
-        log.info("wrote %s", out_path)
+        if pending and (pending[-1][2] != shape_key or len(pending) >= bsz):
+            _flush()
+        pending.append((out_path, req, shape_key))
+    _flush()
     return written
 
 

@@ -47,6 +47,9 @@ def main():
                     choices=["int8", "w8a8"])
     ap.add_argument("--vae_dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--batch_size", type=int, default=1,
+                    help=">1: consecutive same-shape samples run as one "
+                         "batched denoise scan (identical outputs)")
     ap.add_argument("--rank", type=int, default=int(os.environ.get("RANK", 0)))
     ap.add_argument("--world_size", type=int, default=int(os.environ.get("WORLD_SIZE", 1)))
     args = ap.parse_args()
@@ -66,6 +69,7 @@ def main():
         quantize=args.quantize,
         quantize_vlm=args.quantize_vlm,
         vae_dtype=args.vae_dtype,
+        batch_size=args.batch_size,
         rank=args.rank,
         world_size=args.world_size,
     )

@@ -91,6 +91,33 @@ class TestImgEditGeneration:
         # resumability: second run writes nothing
         assert imgedit.step1_generate(cfg) == []
 
+        # batched generation (batch_size>1): same-shape consecutive samples
+        # run through ONE edit_batch call and match the serial outputs
+        import dataclasses as _dc
+
+        from gpt_image_edit_tpu.serve.runtime import UnivaRuntime
+
+        rt = UnivaRuntime(tiny=True, seed=cfg.seed)
+        calls = {"batch": 0}
+        orig_batch = rt.edit_batch
+        rt.edit_batch = lambda reqs: calls.__setitem__(
+            "batch", calls["batch"] + 1
+        ) or orig_batch(reqs)
+        cfg_b = _dc.replace(
+            cfg, output_dir=str(tmp_path / "out_b"), batch_size=2
+        )
+        import os as _os
+
+        written_b = imgedit.step1_generate(cfg_b, runtime=rt)
+        assert len(written_b) == 2 and calls["batch"] == 1
+        for pb in written_b:
+            serial = _os.path.join(
+                cfg.output_dir, _os.path.basename(pb)
+            )
+            a = np.asarray(Image.open(serial), dtype=np.int16)
+            b = np.asarray(Image.open(pb), dtype=np.int16)
+            assert np.abs(a - b).max() <= 2
+
     def test_step3_aggregate(self, tmp_path):
         scores = {"k0": "A: 4\nB: 2", "k1": "A: 3\nB: 3"}
         meta = {"k0": {"edit_type": "add"}, "k1": {"edit_type": "remove"}}
