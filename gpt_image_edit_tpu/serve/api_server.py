@@ -33,6 +33,7 @@ import base64
 import io
 import json
 import logging
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, List, Optional
@@ -253,6 +254,7 @@ def _make_handler(
     scheduler: DeviceScheduler,
     runtime: Any,
     queue_timeout_s: Optional[float] = None,
+    api_key: Optional[str] = None,
 ):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -282,6 +284,19 @@ def _make_handler(
             except json.JSONDecodeError as e:
                 raise ApiError(400, f"invalid JSON: {e}") from e
 
+        def _authorized(self) -> bool:
+            """Bearer-token check for the model endpoints (when --api_key
+            is set); /healthz stays open for liveness probes."""
+            if api_key is None:
+                return True
+            import hmac
+
+            got = self.headers.get("Authorization", "")
+            ok = hmac.compare_digest(got, f"Bearer {api_key}")
+            if not ok:
+                self._send_json(401, {"error": "missing or invalid API key"})
+            return ok
+
         # ---------------- routes ----------------
         def do_GET(self):  # noqa: N802 — http.server API
             if self.path == "/healthz":
@@ -296,6 +311,8 @@ def _make_handler(
                     },
                 )
             elif self.path == "/v1/stats":
+                if not self._authorized():
+                    return
                 self._send_json(200, scheduler.stats())
             elif self.path == "/metrics":
                 st = scheduler.stats()
@@ -370,6 +387,8 @@ def _make_handler(
                 # so no JSON error response is possible or needed)
 
         def do_POST(self):  # noqa: N802 — http.server API
+            if not self._authorized():
+                return
             try:
                 if self.path == "/v1/edit":
                     payload = self._read_json()
@@ -439,6 +458,7 @@ class ApiServer:
         max_batch: int = 1,
         coalesce_window_s: float = 0.05,
         queue_timeout_s: Optional[float] = None,
+        api_key: Optional[str] = None,
     ):
         self.runtime = runtime
         self.scheduler = DeviceScheduler(
@@ -449,7 +469,7 @@ class ApiServer:
         )
         self.httpd = ThreadingHTTPServer(
             (host, port),
-            _make_handler(self.scheduler, runtime, queue_timeout_s),
+            _make_handler(self.scheduler, runtime, queue_timeout_s, api_key),
         )
         self.httpd.daemon_threads = True
         self._thread: Optional[threading.Thread] = None
@@ -514,6 +534,11 @@ def main(argv=None):
     p.add_argument("--queue_timeout_s", type=float, default=None,
                    help="drop queued requests that have not STARTED within "
                         "this long (504) — the client has usually gone away")
+    p.add_argument("--api_key", type=str,
+                   default=os.environ.get("GIE_API_KEY") or None,
+                   help="require 'Authorization: Bearer <key>' on the model "
+                        "endpoints (default: $GIE_API_KEY; /healthz and "
+                        "/metrics stay open for probes/scrapers)")
     p.add_argument("--compile_cache", type=str, default=None)
     p.add_argument("--mesh", type=str, default=None,
                    help="multi-chip serving: 'auto' or 'dp,fsdp,tp'")
@@ -553,6 +578,7 @@ def main(argv=None):
         max_batch=args.max_batch,
         coalesce_window_s=args.coalesce_window_ms / 1e3,
         queue_timeout_s=args.queue_timeout_s,
+        api_key=args.api_key,
     )
 
     if args.warmup:

@@ -47,20 +47,25 @@ def b64_to_image(data: str):
 
 class ApiClient:
     def __init__(self, base_url: str = "http://127.0.0.1:8000",
-                 timeout: float = 900.0):
+                 timeout: float = 900.0, api_key: Optional[str] = None):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self.api_key = api_key
 
     # ------------------------------------------------------------------
     def _request(self, path: str, payload: Optional[dict] = None):
+        headers = {}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
         if payload is not None:
+            headers["Content-Type"] = "application/json"
             req = urllib.request.Request(
                 self.base_url + path,
                 data=json.dumps(payload).encode(),
-                headers={"Content-Type": "application/json"},
+                headers=headers,
             )
         else:
-            req = urllib.request.Request(self.base_url + path)
+            req = urllib.request.Request(self.base_url + path, headers=headers)
         try:
             return urllib.request.urlopen(req, timeout=self.timeout)
         except urllib.error.HTTPError as e:
@@ -141,9 +146,13 @@ class ApiClient:
 def main(argv=None) -> int:
     import argparse
 
+    import os
+
     p = argparse.ArgumentParser(description="gpt_image_edit_tpu API client")
     p.add_argument("--url", type=str, default="http://127.0.0.1:8000")
     p.add_argument("--timeout", type=float, default=900.0)
+    p.add_argument("--api_key", type=str,
+                   default=os.environ.get("GIE_API_KEY") or None)
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pe = sub.add_parser("edit", help="run one edit")
@@ -166,7 +175,7 @@ def main(argv=None) -> int:
         sub.add_parser(name)
 
     args = p.parse_args(argv)
-    client = ApiClient(args.url, timeout=args.timeout)
+    client = ApiClient(args.url, timeout=args.timeout, api_key=args.api_key)
 
     if args.cmd in ("healthz", "stats"):
         print(json.dumps(getattr(client, args.cmd)(), indent=2))

@@ -600,6 +600,35 @@ class TestApiClient:
         assert ei.value.status == 400 and "instruction" in ei.value.message
 
 
+class TestApiKeyAuth:
+    def test_bearer_required_and_accepted(self):
+        from gpt_image_edit_tpu.serve.client import ApiClient, ApiClientError
+
+        server = ApiServer(StubRuntime(), "127.0.0.1", 0, api_key="s3cret")
+        server.start()
+        host, port = server.address[:2]
+        base = f"http://{host}:{port}"
+        try:
+            # open endpoints stay open
+            _request(f"{base}/healthz")
+            with urllib.request.urlopen(f"{base}/metrics", timeout=30) as r:
+                assert r.status == 200
+            # model endpoints reject missing/wrong keys
+            with pytest.raises(ApiClientError) as ei:
+                ApiClient(base).edit("x")
+            assert ei.value.status == 401
+            with pytest.raises(ApiClientError) as ei:
+                ApiClient(base, api_key="wrong").stats()
+            assert ei.value.status == 401
+            # and accept the right one (plain + streaming + stats)
+            good = ApiClient(base, api_key="s3cret")
+            assert good.stats()["served"] == 0
+            assert len(good.edit("x")) == 1
+            assert len(good.edit_stream("x", steps=2)) == 1
+        finally:
+            server.shutdown()
+
+
 # ---------------------------------------------------------------------------
 # batched sampling through the real tiny runtime
 # ---------------------------------------------------------------------------
