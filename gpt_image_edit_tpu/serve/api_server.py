@@ -18,6 +18,11 @@ dependencies beyond the standard library:
   POST /v1/chat    {"message": str, "image"?: b64} -> routed single turn:
                    {"type": "image", "images": [...]} or
                    {"type": "text", "text": ...}
+  POST /v1/conversations          -> {"conversation_id"}   (multi-turn)
+  POST /v1/conversations/<id>     {"message", "image"|"images"?, edit kw}
+                   -> routed turn; ALL history images (generated ones
+                   included) condition later edits (the Gradio behavior)
+  DELETE /v1/conversations/<id>   -> drop the session
 
 All device work funnels through serve/scheduler.DeviceScheduler: one
 worker thread owns the TPU, the admission queue is bounded (503 on
@@ -35,6 +40,8 @@ import json
 import logging
 import os
 import threading
+import time
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, List, Optional
 
@@ -174,6 +181,19 @@ def _progress_cb(step_idx) -> None:
         sink.put(("step", int(step_idx)))
 
 
+class ChatSession:
+    """Multi-turn chat state for one /v1/conversations client: exactly the
+    three attributes UnivaRuntime.chat_turn keeps (conversation transcript,
+    history images, per-image latent cache). Swapped onto the runtime by
+    the single worker thread, so concurrent sessions never interleave."""
+
+    def __init__(self):
+        self.conversation: List[dict] = []
+        self.history_images: List[Any] = []
+        self.cond_cache: dict = {}
+        self.last_used = time.monotonic()
+
+
 class RuntimeExecutor:
     """Bridges scheduler Jobs to a UnivaRuntime.
 
@@ -182,7 +202,8 @@ class RuntimeExecutor:
     and for chat jobs, which carry routing state — jobs run serially
     with per-item error isolation. Jobs carrying a ``progress`` queue
     (streaming clients) get per-step events via the stable module
-    callback above.
+    callback above. Jobs carrying a ``session`` (multi-turn conversations)
+    have that session's state installed on the runtime for the turn.
     """
 
     def __init__(self, runtime: Any):
@@ -216,6 +237,37 @@ class RuntimeExecutor:
 
     def _run_one(self, request: dict) -> dict:
         kind, body = request["kind"], request["body"]
+        if kind == "chat_turn":
+            session: ChatSession = request["session"]
+            rt = self.runtime
+            # install this conversation's state for the turn (single worker
+            # thread: no other job can observe the swapped state)
+            rt.conversation = session.conversation
+            rt.history_images = session.history_images
+            rt._cond_cache = session.cond_cache
+            try:
+                turn_kw = {
+                    k: body[k]
+                    for k in ("steps", "guidance", "seed",
+                              "num_images_per_prompt")
+                    if k in body
+                }
+                if "force_generate" in body:
+                    turn_kw["force_generate"] = body["force_generate"]
+                img_out, text = rt.chat_turn(
+                    body["instruction"], body["images"] or None, **turn_kw
+                )
+            finally:
+                session.conversation = rt.conversation
+                session.history_images = rt.history_images
+                session.cond_cache = rt._cond_cache
+                session.last_used = time.monotonic()
+                rt.reset_chat()
+            if img_out is not None:
+                images = img_out if isinstance(img_out, list) else [img_out]
+                return {"type": "image",
+                        "images": [_image_to_b64(im) for im in images]}
+            return {"type": "text", "text": text}
         if kind == "edit":
             sink = request.get("progress")
             kwargs = _edit_kwargs(body)
@@ -250,12 +302,21 @@ class RuntimeExecutor:
         return {"images": [_image_to_b64(im) for im in images]}
 
 
+MAX_SESSIONS = 256  # multi-turn conversations kept server-side (LRU evict)
+
+
 def _make_handler(
     scheduler: DeviceScheduler,
     runtime: Any,
     queue_timeout_s: Optional[float] = None,
     api_key: Optional[str] = None,
+    sessions: Optional[dict] = None,
+    sessions_lock: Optional[threading.Lock] = None,
 ):
+    if sessions is None:
+        sessions = {}
+    if sessions_lock is None:
+        sessions_lock = threading.Lock()
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
         server_version = "gie-tpu"
@@ -426,6 +487,39 @@ def _make_handler(
                     result = dict(job.result())
                     result["request_id"] = job.request_id
                     self._send_json(200, result)
+                elif self.path == "/v1/conversations":
+                    with sessions_lock:
+                        if len(sessions) >= MAX_SESSIONS:
+                            oldest = min(
+                                sessions, key=lambda k: sessions[k].last_used
+                            )
+                            del sessions[oldest]
+                        cid = uuid.uuid4().hex[:16]
+                        sessions[cid] = ChatSession()
+                    self._send_json(200, {"conversation_id": cid})
+                elif self.path.startswith("/v1/conversations/"):
+                    cid = self.path[len("/v1/conversations/"):]
+                    with sessions_lock:
+                        session = sessions.get(cid)
+                    if session is None:
+                        raise ApiError(404, f"unknown conversation {cid!r}")
+                    payload = self._read_json()
+                    if "message" in payload and "instruction" not in payload:
+                        payload = dict(payload, instruction=payload["message"])
+                    fg = payload.pop("force_generate", None)
+                    if fg is not None and not isinstance(fg, bool):
+                        raise ApiError(400, "'force_generate' must be a boolean")
+                    body = _parse_edit_request(payload)
+                    if fg is not None:
+                        body["force_generate"] = fg
+                    job = scheduler.submit(
+                        {"kind": "chat_turn", "body": body, "session": session},
+                        queue_timeout_s=queue_timeout_s,
+                    )
+                    result = dict(job.result())
+                    result["conversation_id"] = cid
+                    result["request_id"] = job.request_id
+                    self._send_json(200, result)
                 else:
                     self._send_json(404, {"error": "not found"})
             except ApiError as e:
@@ -441,6 +535,20 @@ def _make_handler(
             except Exception as e:  # noqa: BLE001 — last-resort 500
                 log.exception("request failed")
                 self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def do_DELETE(self):  # noqa: N802 — http.server API
+            if not self._authorized():
+                return
+            if self.path.startswith("/v1/conversations/"):
+                cid = self.path[len("/v1/conversations/"):]
+                with sessions_lock:
+                    existed = sessions.pop(cid, None)
+                if existed is None:
+                    self._send_json(404, {"error": f"unknown conversation {cid!r}"})
+                else:
+                    self._send_json(200, {"deleted": cid})
+            else:
+                self._send_json(404, {"error": "not found"})
 
     return Handler
 
@@ -467,9 +575,12 @@ class ApiServer:
             max_queue=max_queue,
             coalesce_window_s=coalesce_window_s,
         )
+        self.sessions: dict = {}
+        self._sessions_lock = threading.Lock()
         self.httpd = ThreadingHTTPServer(
             (host, port),
-            _make_handler(self.scheduler, runtime, queue_timeout_s, api_key),
+            _make_handler(self.scheduler, runtime, queue_timeout_s, api_key,
+                          self.sessions, self._sessions_lock),
         )
         self.httpd.daemon_threads = True
         self._thread: Optional[threading.Thread] = None

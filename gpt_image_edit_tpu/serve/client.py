@@ -142,6 +142,35 @@ class ApiClient:
             body["images"] = [b64_to_image(x) for x in body["images"]]
         return body
 
+    # ------------------------------------------------------------------
+    # multi-turn conversations (server-side history conditioning)
+    def create_conversation(self) -> str:
+        return self._json("/v1/conversations", {})["conversation_id"]
+
+    def chat_turn(self, conversation_id: str, message: str,
+                  images=None, **kw) -> dict:
+        payload: dict = {"message": message, **kw}
+        if images:
+            payload["images"] = [image_to_b64(im) for im in images]
+        body = self._json(f"/v1/conversations/{conversation_id}", payload)
+        if body.get("type") == "image":
+            body["images"] = [b64_to_image(x) for x in body["images"]]
+        return body
+
+    def delete_conversation(self, conversation_id: str) -> None:
+        import urllib.request as _ur
+
+        req = _ur.Request(
+            f"{self.base_url}/v1/conversations/{conversation_id}",
+            method="DELETE",
+        )
+        if self.api_key:
+            req.add_header("Authorization", f"Bearer {self.api_key}")
+        try:
+            _ur.urlopen(req, timeout=self.timeout).close()
+        except urllib.error.HTTPError as e:
+            raise ApiClientError(e.code, e.reason) from e
+
 
 def main(argv=None) -> int:
     import argparse

@@ -253,6 +253,27 @@ class StubRuntime:
             return Image.new("RGB", (4, 4)), None
         return None, f"echo: {message}"
 
+    # multi-turn protocol used by /v1/conversations (duck-typed like
+    # UnivaRuntime.chat_turn/reset_chat)
+    def reset_chat(self):
+        self.conversation = []
+        self.history_images = []
+        self._cond_cache = {}
+
+    def chat_turn(self, message, new_images=None, **kw):
+        if not hasattr(self, "conversation"):
+            self.reset_chat()
+        self.conversation.append({"from": "user", "value": message})
+        self.history_images.extend(new_images or [])
+        if self.history_images:
+            img = Image.new("RGB", (4, 4), (0, 0, 255))
+            self.history_images.append(img)
+            self.conversation.append({"from": "assistant", "value": "<image>"})
+            return img, None
+        answer = f"turn {len(self.conversation)}: {message}"
+        self.conversation.append({"from": "assistant", "value": answer})
+        return None, answer
+
 
 def _request(url, payload=None, method=None):
     if payload is not None:
@@ -600,6 +621,49 @@ class TestApiClient:
         assert ei.value.status == 400 and "instruction" in ei.value.message
 
 
+class TestConversations:
+    def test_lifecycle_and_session_isolation(self, stub_server):
+        _, base = stub_server
+        _, a = _request(f"{base}/v1/conversations", {})
+        _, b = _request(f"{base}/v1/conversations", {})
+        cid_a, cid_b = a["conversation_id"], b["conversation_id"]
+        assert cid_a != cid_b
+
+        # A gets an image turn; B stays text-only
+        status, ra = _request(
+            f"{base}/v1/conversations/{cid_a}",
+            {"message": "edit it", "image": _png_b64()},
+        )
+        assert status == 200 and ra["type"] == "image"
+        assert ra["conversation_id"] == cid_a
+        status, rb1 = _request(
+            f"{base}/v1/conversations/{cid_b}", {"message": "hello"}
+        )
+        # isolation: B's history has no images (A's must not leak) and its
+        # transcript is turn 1
+        assert rb1["type"] == "text" and rb1["text"].startswith("turn 1")
+        status, rb2 = _request(
+            f"{base}/v1/conversations/{cid_b}", {"message": "again"}
+        )
+        assert rb2["text"].startswith("turn 3")  # user+assistant per turn
+
+        # delete -> subsequent turns 404
+        req = urllib.request.Request(
+            f"{base}/v1/conversations/{cid_a}", method="DELETE"
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 200
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _request(f"{base}/v1/conversations/{cid_a}", {"message": "x"})
+        assert ei.value.code == 404
+
+    def test_unknown_conversation_404(self, stub_server):
+        _, base = stub_server
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _request(f"{base}/v1/conversations/nope", {"message": "x"})
+        assert ei.value.code == 404
+
+
 class TestApiKeyAuth:
     def test_bearer_required_and_accepted(self):
         from gpt_image_edit_tpu.serve.client import ApiClient, ApiClientError
@@ -795,6 +859,26 @@ class TestTinyRuntimeIntegration:
             assert status == 200
             img = Image.open(io.BytesIO(base64.b64decode(body["images"][0])))
             assert img.size[0] > 0 and img.mode == "RGB"
+
+    def test_multi_turn_conversation_real_runtime(self, tiny_rt):
+        from gpt_image_edit_tpu.serve.client import ApiClient
+
+        with ApiServer(tiny_rt, "127.0.0.1", 0) as server:
+            host, port = server.address[:2]
+            c = ApiClient(f"http://{host}:{port}", timeout=600)
+            cid = c.create_conversation()
+            t1 = c.chat_turn(
+                cid, "make it red",
+                [Image.new("RGB", (32, 32), (10, 10, 10))],
+                steps=1, seed=0,
+            )
+            assert t1["type"] == "image"
+            # turn 2: no new image — conditions on [input, turn-1 output]
+            t2 = c.chat_turn(cid, "now bluer", steps=1, seed=1)
+            assert t2["type"] == "image"
+            c.delete_conversation(cid)
+            # the runtime's own chat state was not clobbered between jobs
+            assert tiny_rt.conversation == [] and tiny_rt.history_images == []
 
     def test_streaming_edit_real_scan_callback(self, tiny_rt):
         # the real path: jax.debug.callback inside the lax.scan feeds the
