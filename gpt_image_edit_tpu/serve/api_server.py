@@ -290,9 +290,12 @@ class RuntimeExecutor:
         if kind == "chat":
             imgs = body["images"]
             image = imgs[0] if imgs else None
-            img_out, text = self.runtime.chat(body["instruction"], image)
+            kw = {k: v for k, v in body.items() if k in _EDIT_FIELDS}
+            img_out, text = self.runtime.chat(body["instruction"], image, **kw)
             if img_out is not None:
-                return {"type": "image", "images": [_image_to_b64(img_out)]}
+                images = img_out if isinstance(img_out, list) else [img_out]
+                return {"type": "image",
+                        "images": [_image_to_b64(im) for im in images]}
             return {"type": "text", "text": text}
         raise ApiError(400, f"unknown request kind {kind!r}")
 

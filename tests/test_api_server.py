@@ -368,6 +368,21 @@ class TestApiServer:
         )
         assert status == 200 and body["type"] == "image"
 
+    def test_chat_forwards_edit_kwargs(self, stub_server):
+        rt, base = stub_server
+        seen = {}
+        orig = rt.chat
+        rt.chat = lambda m, image=None, **kw: (
+            seen.update(kw) or orig(m, image)
+        )
+        try:
+            _request(f"{base}/v1/chat",
+                     {"message": "go", "image": _png_b64(),
+                      "steps": 5, "seed": 11})
+            assert seen["steps"] == 5 and seen["seed"] == 11
+        finally:
+            rt.chat = orig
+
     @pytest.mark.parametrize(
         "payload,frag",
         [
