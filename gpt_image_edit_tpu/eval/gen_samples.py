@@ -80,9 +80,18 @@ def generate_samples(
         except Exception as e:  # noqa: BLE001 — degrade, don't lose the run
             log.warning("batch of %d failed (%s); running serially",
                         len(reqs), e)
-            outs = [runtime.edit(**r) for r in reqs]
+            # per-item isolation like the batch_size=1 path: one bad
+            # sample must not abort the shard (or wedge every resume)
+            outs = []
+            for (out_path, _), r in zip(items, reqs):
+                try:
+                    outs.append(runtime.edit(**r))
+                except Exception:  # noqa: BLE001
+                    log.exception("sample %s failed; continuing", out_path)
+                    outs.append(None)
         for (out_path, _), img in zip(items, outs):
-            _write(out_path, img)
+            if img is not None:
+                _write(out_path, img)
         pending.clear()
 
     for s in shard:
@@ -92,15 +101,14 @@ def generate_samples(
             continue
         image = image_fn(s, cfg) if image_fn else None
         req = _req(prompt_fn(s), image)
-        if bsz == 1 or not hasattr(runtime, "edit_batch"):
+        shape_fn = getattr(runtime, "batch_shape_key", None)
+        if bsz == 1 or not hasattr(runtime, "edit_batch") or shape_fn is None:
             try:
                 _write(out_path, runtime.edit(**req))
             except Exception:
                 log.exception("sample %s failed; continuing", key)
             continue
-        shape_key = runtime._resolve_shapes(
-            runtime._as_image_list(image), None, None
-        )
+        shape_key = shape_fn(image)
         if pending and (pending[-1][2] != shape_key or len(pending) >= bsz):
             _flush()
         pending.append((out_path, req, shape_key))

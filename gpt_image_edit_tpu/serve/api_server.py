@@ -241,7 +241,15 @@ class RuntimeExecutor:
             session: ChatSession = request["session"]
             rt = self.runtime
             # install this conversation's state for the turn (single worker
-            # thread: no other job can observe the swapped state)
+            # thread: no other job can observe the swapped state); snapshot
+            # first — chat_turn mutates the transcript BEFORE generating,
+            # so a mid-turn failure must roll back or a client retry would
+            # duplicate the user message and conditioning images
+            snapshot = (
+                list(session.conversation),
+                list(session.history_images),
+                dict(session.cond_cache),
+            )
             rt.conversation = session.conversation
             rt.history_images = session.history_images
             rt._cond_cache = session.cond_cache
@@ -257,10 +265,15 @@ class RuntimeExecutor:
                 img_out, text = rt.chat_turn(
                     body["instruction"], body["images"] or None, **turn_kw
                 )
-            finally:
+            except BaseException:
+                (session.conversation, session.history_images,
+                 session.cond_cache) = snapshot
+                raise
+            else:
                 session.conversation = rt.conversation
                 session.history_images = rt.history_images
                 session.cond_cache = rt._cond_cache
+            finally:
                 session.last_used = time.monotonic()
                 rt.reset_chat()
             if img_out is not None:
@@ -328,7 +341,26 @@ def _make_handler(
             log.debug("%s " + fmt, self.address_string(), *args)
 
         # ---------------- helpers ----------------
+        def _discard_body(self) -> None:
+            """Drain an unread request body. HTTP/1.1 keep-alive: leftover
+            body bytes would be parsed as the NEXT request's request line,
+            corrupting the connection (e.g. responding to a create/401
+            before reading the payload)."""
+            if getattr(self, "_body_read", False):
+                return
+            self._body_read = True
+            length = int(self.headers.get("Content-Length") or 0)
+            if length > MAX_BODY_BYTES:
+                self.close_connection = True  # don't slurp abusive bodies
+                return
+            while length > 0:
+                chunk = self.rfile.read(min(length, 1 << 20))
+                if not chunk:
+                    break
+                length -= len(chunk)
+
         def _send_json(self, status: int, obj: dict) -> None:
+            self._discard_body()
             body = json.dumps(obj).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
@@ -338,9 +370,11 @@ def _make_handler(
 
         def _read_json(self) -> dict:
             length = int(self.headers.get("Content-Length") or 0)
+            self._body_read = True
             if length <= 0:
                 raise ApiError(400, "missing request body")
             if length > MAX_BODY_BYTES:
+                self.close_connection = True  # unread oversized body
                 raise ApiError(413, f"body exceeds {MAX_BODY_BYTES} bytes")
             raw = self.rfile.read(length)
             try:
@@ -355,14 +389,19 @@ def _make_handler(
                 return True
             import hmac
 
-            got = self.headers.get("Authorization", "")
-            ok = hmac.compare_digest(got, f"Bearer {api_key}")
+            # compare as bytes: compare_digest(str, str) raises TypeError
+            # on non-ASCII header values (headers are latin-1 decoded)
+            got = self.headers.get("Authorization", "").encode("latin-1")
+            ok = hmac.compare_digest(
+                got, f"Bearer {api_key}".encode("latin-1")
+            )
             if not ok:
                 self._send_json(401, {"error": "missing or invalid API key"})
             return ok
 
         # ---------------- routes ----------------
         def do_GET(self):  # noqa: N802 — http.server API
+            self._body_read = False  # per-request (handler spans keep-alive)
             if self.path == "/healthz":
                 import jax
 
@@ -451,6 +490,7 @@ def _make_handler(
                 # so no JSON error response is possible or needed)
 
         def do_POST(self):  # noqa: N802 — http.server API
+            self._body_read = False  # per-request (handler spans keep-alive)
             if not self._authorized():
                 return
             try:
@@ -512,9 +552,25 @@ def _make_handler(
                     fg = payload.pop("force_generate", None)
                     if fg is not None and not isinstance(fg, bool):
                         raise ApiError(400, "'force_generate' must be a boolean")
+                    unsupported = [
+                        k for k in ("height", "width", "true_cfg_scale",
+                                    "negative_prompt")
+                        if payload.get(k) is not None
+                    ]
+                    if unsupported:
+                        # fail loudly rather than silently ignoring them:
+                        # turn size derives from the history, and true-CFG
+                        # needs the negative prefill chat_turn doesn't run
+                        raise ApiError(
+                            400,
+                            f"{unsupported} not supported on conversation "
+                            "turns (use /v1/edit)",
+                        )
                     body = _parse_edit_request(payload)
                     if fg is not None:
                         body["force_generate"] = fg
+                    session.last_used = time.monotonic()  # active: shield
+                    # the session from LRU eviction while its turn queues
                     job = scheduler.submit(
                         {"kind": "chat_turn", "body": body, "session": session},
                         queue_timeout_s=queue_timeout_s,
@@ -540,6 +596,7 @@ def _make_handler(
                 self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
 
         def do_DELETE(self):  # noqa: N802 — http.server API
+            self._body_read = False  # per-request (handler spans keep-alive)
             if not self._authorized():
                 return
             if self.path.startswith("/v1/conversations/"):

@@ -53,7 +53,8 @@ class ApiClient:
         self.api_key = api_key
 
     # ------------------------------------------------------------------
-    def _request(self, path: str, payload: Optional[dict] = None):
+    def _request(self, path: str, payload: Optional[dict] = None,
+                 method: Optional[str] = None):
         headers = {}
         if self.api_key:
             headers["Authorization"] = f"Bearer {self.api_key}"
@@ -63,9 +64,12 @@ class ApiClient:
                 self.base_url + path,
                 data=json.dumps(payload).encode(),
                 headers=headers,
+                method=method,
             )
         else:
-            req = urllib.request.Request(self.base_url + path, headers=headers)
+            req = urllib.request.Request(
+                self.base_url + path, headers=headers, method=method
+            )
         try:
             return urllib.request.urlopen(req, timeout=self.timeout)
         except urllib.error.HTTPError as e:
@@ -158,18 +162,9 @@ class ApiClient:
         return body
 
     def delete_conversation(self, conversation_id: str) -> None:
-        import urllib.request as _ur
-
-        req = _ur.Request(
-            f"{self.base_url}/v1/conversations/{conversation_id}",
-            method="DELETE",
-        )
-        if self.api_key:
-            req.add_header("Authorization", f"Bearer {self.api_key}")
-        try:
-            _ur.urlopen(req, timeout=self.timeout).close()
-        except urllib.error.HTTPError as e:
-            raise ApiClientError(e.code, e.reason) from e
+        self._request(
+            f"/v1/conversations/{conversation_id}", method="DELETE"
+        ).close()
 
 
 def main(argv=None) -> int:

@@ -343,6 +343,16 @@ class UnivaRuntime:
             buckets.append((bh, bw))
         return height, width, buckets
 
+    def batch_shape_key(self, image=None, height=None, width=None):
+        """PUBLIC batch-compatibility key: two edit requests with equal keys
+        share every static shape and may run in one edit_batch group (used
+        by eval/gen_samples and available to custom schedulers; the HTTP
+        layer's edit_signature adds the step/CFG knobs on top)."""
+        h, w, buckets = self._resolve_shapes(
+            self._as_image_list(image), height, width
+        )
+        return (h, w, tuple(buckets))
+
     def _prep_edit(
         self,
         instruction: str,

@@ -678,6 +678,66 @@ class TestConversations:
             _request(f"{base}/v1/conversations/nope", {"message": "x"})
         assert ei.value.code == 404
 
+    def test_keepalive_connection_survives_unread_bodies(self, stub_server):
+        """Responding before reading the body must not leave bytes on a
+        keep-alive connection (they'd be parsed as the next request)."""
+        import http.client
+
+        _, base = stub_server
+        host, port = base.replace("http://", "").split(":")
+        conn = http.client.HTTPConnection(host, int(port), timeout=30)
+        try:
+            # create ignores its body — the '{}' must still be drained
+            conn.request("POST", "/v1/conversations", b"{}",
+                         {"Content-Type": "application/json"})
+            r1 = conn.getresponse()
+            cid = json.loads(r1.read())["conversation_id"]
+            assert r1.status == 200
+            # SAME connection: the next request must parse cleanly
+            conn.request("POST", f"/v1/conversations/{cid}",
+                         json.dumps({"message": "hi"}).encode(),
+                         {"Content-Type": "application/json"})
+            r2 = conn.getresponse()
+            assert r2.status == 200
+            assert json.loads(r2.read())["type"] == "text"
+        finally:
+            conn.close()
+
+    def test_rejects_unsupported_turn_fields(self, stub_server):
+        _, base = stub_server
+        _, c = _request(f"{base}/v1/conversations", {})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _request(
+                f"{base}/v1/conversations/{c['conversation_id']}",
+                {"message": "x", "true_cfg_scale": 4.0},
+            )
+        assert ei.value.code == 400
+        assert "not supported" in json.loads(ei.value.read())["error"]
+
+    def test_failed_turn_rolls_back_session(self, stub_server):
+        rt, base = stub_server
+        _, c = _request(f"{base}/v1/conversations", {})
+        cid = c["conversation_id"]
+        _request(f"{base}/v1/conversations/{cid}", {"message": "turn one"})
+        orig = rt.chat_turn
+
+        def boom(message, new_images=None, **kw):
+            rt.conversation.append({"from": "user", "value": message})
+            raise RuntimeError("mid-turn failure")
+
+        rt.chat_turn = boom
+        try:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _request(f"{base}/v1/conversations/{cid}", {"message": "bad"})
+            assert ei.value.code == 500
+        finally:
+            rt.chat_turn = orig
+        # retry succeeds and the transcript holds turns 1 + this one only
+        _, out = _request(
+            f"{base}/v1/conversations/{cid}", {"message": "turn two"}
+        )
+        assert out["text"].startswith("turn 3")  # user+assistant per turn
+
 
 class TestApiKeyAuth:
     def test_bearer_required_and_accepted(self):
