@@ -120,7 +120,7 @@ def apply(
     raise ValueError(f"unknown output_type: {output_type}")
 
 
-def generate_greedy(
+def generate(
     params: Params,
     cfg: Qwen2p5VLConfig,
     *,
@@ -133,10 +133,18 @@ def generate_greedy(
     image_embeds: Optional[jnp.ndarray] = None,
     max_new_tokens: int = 64,
     eos_token_id: int = 151645,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    rng=None,
 ):
-    """KV-cache greedy decoding (the reference's `model.generate` path,
+    """KV-cache decoding (the reference's `model.generate` path,
     ref:cli.py:256-267; positions continue at max_pos via mrope deltas,
-    ref:modeling_univa_qwen2p5vl.py:466-479)."""
+    ref:modeling_univa_qwen2p5vl.py:466-479). Greedy by default; with
+    ``do_sample`` the HF-parity temperature/top-k/top-p warpers
+    (ops/sampling.py) pick each token — temperature/top_k/top_p are traced
+    operands, so changing them never recompiles the decode loop."""
     from gpt_image_edit_tpu.models.qwen2p5vl import language, vision
 
     b, s = input_ids.shape
@@ -163,22 +171,46 @@ def generate_greedy(
     prefix_mask = prefix_mask.at[:, :s].set(
         attention_mask.astype(jnp.bool_) if attention_mask is not None else True
     )
-    next_tok = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)  # (B,)
+    if rng is None:
+        rng = jax.random.key(0)
+    rng, first_rng = jax.random.split(rng)
+    next_tok = _select_token(
+        first_logits, first_rng, do_sample=do_sample,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+    )  # (B,)
     pos0 = jnp.max(position_ids).astype(jnp.int32) + 1
 
     tokens_arr, n_valid = _decode_loop(
-        params["lm"], cache, next_tok, prefix_mask, pos0,
+        params["lm"], cache, next_tok, prefix_mask, pos0, rng,
+        jnp.float32(temperature), jnp.int32(top_k), jnp.float32(top_p),
         cfg=cfg.text, max_new_tokens=max_new_tokens, prompt_len=s,
-        eos_token_id=eos_token_id,
+        eos_token_id=eos_token_id, do_sample=do_sample,
     )
     # host conversion happens ONCE after the whole on-device loop
     tokens_arr, n_valid = np.asarray(tokens_arr), np.asarray(n_valid)
     return [int(t) for t in tokens_arr[0, : n_valid[0]]]
 
 
+def generate_greedy(params, cfg, **kw):
+    """Back-compat alias — ``generate`` with greedy defaults."""
+    return generate(params, cfg, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=("do_sample",))
+def _select_token(scores, rng, *, do_sample, temperature, top_k, top_p):
+    from gpt_image_edit_tpu.ops.sampling import select_next_token
+
+    return select_next_token(
+        scores, rng, do_sample=do_sample,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "prompt_len", "eos_token_id"),
+    static_argnames=(
+        "cfg", "max_new_tokens", "prompt_len", "eos_token_id", "do_sample"
+    ),
 )
 def _decode_loop(
     lm_params,
@@ -186,19 +218,27 @@ def _decode_loop(
     first_tok,       # (B,) int32 from the prefill logits
     prefix_mask,     # (B, max_len) bool — True over the real prompt tokens
     pos0,            # scalar int32: first decode position (mrope continues flat)
+    rng,             # PRNG key (unused when do_sample=False)
+    temperature,     # traced f32 scalar — no recompile on change
+    top_k,           # traced i32 scalar
+    top_p,           # traced f32 scalar
     *,
     cfg,
     max_new_tokens: int,
     prompt_len: int,
     eos_token_id: int,
+    do_sample: bool = False,
 ):
-    """Greedy decode as ONE compiled lax.while_loop: on-device argmax, EOS
+    """Decode as ONE compiled lax.while_loop: on-device token choice, EOS
     flag, KV cache in the carry — no host round-trip per token (VERDICT r1
     weak #5; replaces the reference's HF generate loop, ref:cli.py:256-267).
+    Token choice is greedy argmax or, under ``do_sample``, HF-parity warped
+    categorical sampling (ops/sampling.py) with the key split per step.
 
     Returns (tokens (B, max_new_tokens) int32, n_valid (B,) int32); EOS is
     excluded from the count like the reference decode."""
     from gpt_image_edit_tpu.models.qwen2p5vl import language
+    from gpt_image_edit_tpu.ops.sampling import select_next_token
 
     b = first_tok.shape[0]
     max_len = prefix_mask.shape[1]
@@ -207,11 +247,11 @@ def _decode_loop(
     n0 = jnp.zeros((b,), jnp.int32)
 
     def cond(carry):
-        step, tok, cache_, tokens, done, n = carry
+        step, tok, cache_, tokens, done, n, key = carry
         return jnp.logical_and(step < max_new_tokens, ~jnp.all(done))
 
     def body(carry):
-        step, tok, cache_, tokens, done, n = carry
+        step, tok, cache_, tokens, done, n, key = carry
         tokens = jax.lax.dynamic_update_slice(
             tokens, jnp.where(done, 0, tok)[:, None], (0, step)
         )
@@ -227,12 +267,19 @@ def _decode_loop(
             lm_params, cfg, emb, pos, cache_,
             (prompt_len + step).astype(jnp.int32), mask,
         )
-        nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        if do_sample:  # static: the greedy program carries no RNG ops
+            key, sub = jax.random.split(key)
+        else:
+            sub = key
+        nxt = select_next_token(
+            lg, sub, do_sample=do_sample,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+        )
         done = jnp.logical_or(done, nxt == eos_token_id)
-        return step + 1, nxt, cache_, tokens, done, n
+        return step + 1, nxt, cache_, tokens, done, n, key
 
-    _, _, _, tokens, _, n = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), first_tok, cache, tokens0, done0, n0)
+    _, _, _, tokens, _, n, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), first_tok, cache, tokens0, done0, n0, rng)
     )
     return tokens, n
 

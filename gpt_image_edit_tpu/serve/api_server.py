@@ -72,6 +72,42 @@ _EDIT_FIELDS = {
     "num_images_per_prompt": int,
 }
 
+# text-generation kwargs accepted on the chat endpoints (applied only when
+# the turn routes to the understanding branch — runtime._TEXT_KW)
+_TEXT_FIELDS = {
+    "max_new_tokens": int,
+    "do_sample": bool,
+    "temperature": float,
+    "top_k": int,
+    "top_p": float,
+}
+
+
+def _parse_text_fields(payload: dict) -> dict:
+    out: dict = {}
+    for name, cast in _TEXT_FIELDS.items():
+        if name in payload and payload[name] is not None:
+            val = payload[name]
+            if cast is bool:
+                if not isinstance(val, bool):
+                    # bool("false") is True — reject instead of sampling
+                    raise ApiError(400, f"'{name}' must be a boolean")
+            else:
+                try:
+                    val = cast(val)
+                except (TypeError, ValueError) as e:
+                    raise ApiError(400, f"invalid '{name}': {e}") from e
+            out[name] = val
+    if not 1 <= out.get("max_new_tokens", 128) <= 4096:
+        raise ApiError(400, "'max_new_tokens' must be in [1, 4096]")
+    if out.get("temperature", 1.0) <= 0:
+        raise ApiError(400, "'temperature' must be > 0")
+    if not 0 < out.get("top_p", 1.0) <= 1:
+        raise ApiError(400, "'top_p' must be in (0, 1]")
+    if out.get("top_k", 0) < 0:
+        raise ApiError(400, "'top_k' must be >= 0")
+    return out
+
 
 class ApiError(Exception):
     def __init__(self, status: int, message: str):
@@ -257,7 +293,7 @@ class RuntimeExecutor:
                 turn_kw = {
                     k: body[k]
                     for k in ("steps", "guidance", "seed",
-                              "num_images_per_prompt")
+                              "num_images_per_prompt", *_TEXT_FIELDS)
                     if k in body
                 }
                 if "force_generate" in body:
@@ -303,7 +339,8 @@ class RuntimeExecutor:
         if kind == "chat":
             imgs = body["images"]
             image = imgs[0] if imgs else None
-            kw = {k: v for k, v in body.items() if k in _EDIT_FIELDS}
+            kw = {k: v for k, v in body.items()
+                  if k in _EDIT_FIELDS or k in _TEXT_FIELDS}
             img_out, text = self.runtime.chat(body["instruction"], image, **kw)
             if img_out is not None:
                 images = img_out if isinstance(img_out, list) else [img_out]
@@ -523,6 +560,7 @@ def _make_handler(
                     if "message" in payload and "instruction" not in payload:
                         payload = dict(payload, instruction=payload["message"])
                     body = _parse_edit_request(payload)
+                    body.update(_parse_text_fields(payload))
                     job = scheduler.submit(
                         {"kind": "chat", "body": body},
                         queue_timeout_s=queue_timeout_s,
@@ -567,6 +605,7 @@ def _make_handler(
                             "turns (use /v1/edit)",
                         )
                     body = _parse_edit_request(payload)
+                    body.update(_parse_text_fields(payload))
                     if fg is not None:
                         body["force_generate"] = fg
                     session.last_used = time.monotonic()  # active: shield

@@ -38,6 +38,11 @@ def build_parser():
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--understand", action="store_true", help="text answer instead of edit")
+    p.add_argument("--do_sample", action="store_true",
+                   help="sample text answers (HF-parity warpers; greedy default)")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--top_p", type=float, default=1.0)
     p.add_argument("--quantize", type=str, default=None,
                    choices=[None, "int8", "int4", "w8a8", "w8a8-attn", "w8a8-qk8"],
                    help="denoiser quantization: int8 = weight-only (fits 12B "
@@ -86,9 +91,14 @@ def main(argv=None):
     )
     image = Image.open(args.image) if args.image else None
 
+    text_kw = dict(
+        do_sample=args.do_sample, temperature=args.temperature,
+        top_k=args.top_k, top_p=args.top_p,
+    ) if args.do_sample else {}
+
     if args.prompt is not None:  # one-shot
         if args.understand:
-            print(rt.answer(args.prompt, image))
+            print(rt.answer(args.prompt, image, seed=args.seed, **text_kw))
         else:
             out = rt.edit(
                 args.prompt, image,
@@ -135,11 +145,12 @@ def main(argv=None):
         image = None  # consumed: it now lives in the chat history
         if line.startswith("?"):
             _, answer = rt.chat_turn(line[1:].strip(), new_images,
-                                     force_generate=False)
+                                     force_generate=False, **text_kw)
             print(answer)
         else:
             img, answer = rt.chat_turn(
                 line, new_images, steps=args.steps, guidance=args.guidance,
+                **text_kw,
             )
             if img is not None:
                 last = img

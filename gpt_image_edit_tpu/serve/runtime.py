@@ -636,12 +636,18 @@ class UnivaRuntime:
             self._evict_vlm()  # routing read the verdict (host bool): idle
         return verdict
 
+    _TEXT_KW = ("max_new_tokens", "do_sample", "temperature", "top_k", "top_p")
+
     def chat(self, message: str, image: Optional[Image.Image] = None, **kw):
         """One chat turn with automatic routing: returns (PIL image, None) or
-        (None, text answer) — the reference REPL's behavior."""
+        (None, text answer) — the reference REPL's behavior. Text-generation
+        knobs (max_new_tokens/do_sample/temperature/top_k/top_p) apply only
+        when the turn routes to text, mirroring how the reference's edit
+        knobs are ignored by `model.generate` (ref:cli.py:256-267)."""
+        text_kw = {k: kw.pop(k) for k in self._TEXT_KW if k in kw}
         if self.route(message, image):
             return self.edit(message, image, **kw), None
-        return None, self.answer(message, image)
+        return None, self.answer(message, image, seed=kw.get("seed"), **text_kw)
 
     # ------------------------------------------------------------------
     # multi-turn chat with history-image conditioning (ref:app.py:222-330,
@@ -716,6 +722,10 @@ class UnivaRuntime:
         turns (ref:cli.py:249-254 history_image_paths.append)."""
         if not hasattr(self, "conversation"):
             self.reset_chat()
+        # text-generation knobs: split off BEFORE routing so an image turn
+        # never forwards them to the denoise pipeline (they apply only when
+        # the router picks the understanding branch)
+        text_kw = {k: edit_kw.pop(k) for k in self._TEXT_KW if k in edit_kw}
         new_images = list(new_images or [])
         text = message
         if ocr_enhancer and new_images:
@@ -796,13 +806,20 @@ class UnivaRuntime:
             return (imgs if len(imgs) > 1 else imgs[0]), None
 
         kwargs, deltas = self._prepare_inputs(self.conversation, self.history_images)
-        from gpt_image_edit_tpu.models.qwen2p5vl.model import generate_greedy
+        from gpt_image_edit_tpu.models.qwen2p5vl.model import generate
 
-        out_tokens = generate_greedy(
+        if text_kw.get("do_sample"):
+            seed = edit_kw.pop("seed", None)
+            if seed is not None:
+                text_kw["rng"] = jax.random.key(seed)
+            else:
+                self.rng, text_kw["rng"] = jax.random.split(self.rng)
+        out_tokens = generate(
             self._qwen(), self.qcfg,
             rope_delta=int(deltas[0, 0]),
-            max_new_tokens=edit_kw.pop("max_new_tokens", 128),
+            max_new_tokens=text_kw.pop("max_new_tokens", 128),
             eos_token_id=getattr(self.tokenizer, "eos_token_id", C.IM_END_ID),
+            **text_kw,
             **kwargs,
         )
         if self.offload:
@@ -873,20 +890,39 @@ class UnivaRuntime:
         image: Optional[Image.Image] = None,
         *,
         max_new_tokens: int = 64,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        seed: Optional[int] = None,
     ) -> str:
-        """Understanding branch: KV-cache greedy decode (ref:cli.py:256-267)."""
+        """Understanding branch: KV-cache decode (ref:cli.py:256-267).
+        Greedy by default; ``do_sample`` enables the HF-parity
+        temperature/top-k/top-p warpers (ops/sampling.py) — ``seed`` makes
+        a sampled answer reproducible."""
         images = [image] if image is not None else []
         value = ("<image>" if image is not None else "") + question
         conversation = [{"from": "user", "value": value}]
         kwargs, deltas = self._prepare_inputs(conversation, images)
 
-        from gpt_image_edit_tpu.models.qwen2p5vl.model import generate_greedy
+        from gpt_image_edit_tpu.models.qwen2p5vl.model import generate
 
-        out_tokens = generate_greedy(
+        sample_kw: dict = {}
+        if do_sample:
+            if seed is not None:
+                rng = jax.random.key(seed)
+            else:
+                self.rng, rng = jax.random.split(self.rng)
+            sample_kw = dict(
+                do_sample=True, temperature=temperature,
+                top_k=top_k, top_p=top_p, rng=rng,
+            )
+        out_tokens = generate(
             self._qwen(), self.qcfg,
             rope_delta=int(deltas[0, 0]),
             max_new_tokens=max_new_tokens,
             eos_token_id=getattr(self.tokenizer, "eos_token_id", C.IM_END_ID),
+            **sample_kw,
             **kwargs,
         )
         if self.offload:

@@ -383,6 +383,42 @@ class TestApiServer:
         finally:
             rt.chat = orig
 
+    def test_chat_forwards_text_kwargs(self, stub_server):
+        rt, base = stub_server
+        seen = {}
+        orig = rt.chat
+        rt.chat = lambda m, image=None, **kw: (
+            seen.update(kw) or orig(m, image)
+        )
+        try:
+            _request(f"{base}/v1/chat",
+                     {"message": "describe", "do_sample": True,
+                      "temperature": 0.7, "top_k": 40, "top_p": 0.9,
+                      "max_new_tokens": 32})
+            assert seen == {"do_sample": True, "temperature": 0.7,
+                            "top_k": 40, "top_p": 0.9, "max_new_tokens": 32}
+        finally:
+            rt.chat = orig
+
+    @pytest.mark.parametrize(
+        "payload,frag",
+        [
+            ({"temperature": 0}, "temperature"),
+            ({"temperature": -1.0}, "temperature"),
+            ({"top_p": 0}, "top_p"),
+            ({"top_p": 1.5}, "top_p"),
+            ({"top_k": -2}, "top_k"),
+            ({"do_sample": "yes"}, "boolean"),
+            ({"max_new_tokens": 0}, "max_new_tokens"),
+        ],
+    )
+    def test_bad_text_kwargs_400(self, stub_server, payload, frag):
+        _, base = stub_server
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _request(f"{base}/v1/chat", {"message": "x", **payload})
+        assert ei.value.code == 400
+        assert frag in json.loads(ei.value.read())["error"]
+
     @pytest.mark.parametrize(
         "payload,frag",
         [
@@ -677,6 +713,25 @@ class TestConversations:
         with pytest.raises(urllib.error.HTTPError) as ei:
             _request(f"{base}/v1/conversations/nope", {"message": "x"})
         assert ei.value.code == 404
+
+    def test_turn_forwards_text_kwargs(self, stub_server):
+        rt, base = stub_server
+        _, c = _request(f"{base}/v1/conversations", {})
+        seen = {}
+        orig = rt.chat_turn
+        rt.chat_turn = lambda m, new_images=None, **kw: (
+            seen.update(kw) or orig(m, new_images)
+        )
+        try:
+            _request(
+                f"{base}/v1/conversations/{c['conversation_id']}",
+                {"message": "describe", "do_sample": True,
+                 "temperature": 0.6, "top_p": 0.95, "max_new_tokens": 16},
+            )
+            assert seen == {"do_sample": True, "temperature": 0.6,
+                            "top_p": 0.95, "max_new_tokens": 16}
+        finally:
+            rt.chat_turn = orig
 
     def test_keepalive_connection_survives_unread_bodies(self, stub_server):
         """Responding before reading the body must not leave bytes on a
