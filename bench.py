@@ -871,10 +871,14 @@ def phase_train() -> dict:
 
         return loss_fn
 
-    # --- fwd+bwd-only at two depths (no optimizer state -> (4,8) fits) ---
+    # --- fwd+bwd-only at two depths; (4,8) can OOM on 16GB (grads+remat
+    # activations), so (3,6) is the fallback second point for the fit ---
     fb_rows = []
-    fb_depths = [(2, 4), (4, 8)] if on_tpu else [(1, 2), (2, 3)]
+    fb_depths = [(2, 4), (4, 8), (3, 6)] if on_tpu else [(1, 2), (2, 3)]
     for nd, ns in fb_depths:
+        if len(fb_rows) >= 2:
+            break
+        params = grads = None
         try:
             cfg, params = build(nd, ns)
             loss_fn = make_loss(cfg)
@@ -896,6 +900,13 @@ def phase_train() -> dict:
         except Exception as e:
             log(f"fwd+bwd depth ({nd},{ns}) failed ({type(e).__name__}): "
                 f"{str(e)[:200]}")
+            # an OOM-ed row must not poison the rest of the phase: drop the
+            # big locals (params/grads of the failed shape) and collect so
+            # the next build() starts from a clean HBM high-water mark
+            params = grads = None
+            import gc
+
+            gc.collect()
             continue
         fb_rows.append((nd, ns, dt, n_params))
         log(f"fwd+bwd depth ({nd},{ns}): {dt * 1000:.1f} ms "
@@ -904,28 +915,35 @@ def phase_train() -> dict:
         _write_partial({"fwd_bwd_rows":
                         [[d, s, round(t, 4)] for d, s, t, _ in fb_rows]})
 
-    # --- full train step (grad + AdamW) at the largest depth that fits ---
-    nd, ns = fb_depths[0]
-    cfg, params = build(nd, ns)
-    loss_fn = make_loss(cfg)
-    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    tx = optax.adamw(1e-6)
-    opt = tx.init(params)
+    # --- full train step (grad + AdamW) at the smallest depth ---
+    # guarded: a failure here (e.g. OOM after a poisoned row) must still
+    # return the measured fwd+bwd rows instead of crashing the phase
+    try:
+        nd, ns = fb_depths[0]
+        cfg, params = build(nd, ns)
+        loss_fn = make_loss(cfg)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        tx = optax.adamw(1e-6)
+        opt = tx.init(params)
 
-    @jax.jit
-    def train_step(p, opt, lat):
-        loss, grads = jax.value_and_grad(loss_fn)(p, lat)
-        updates, opt = tx.update(grads, opt, p)
-        return optax.apply_updates(p, updates), opt, loss
+        @jax.jit
+        def train_step(p, opt, lat):
+            loss, grads = jax.value_and_grad(loss_fn)(p, lat)
+            updates, opt = tx.update(grads, opt, p)
+            return optax.apply_updates(p, updates), opt, loss
 
-    params, opt, loss = train_step(params, opt, latents)
-    float(loss)
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
         params, opt, loss = train_step(params, opt, latents)
-    float(loss)
-    dt_step = (time.perf_counter() - t0) / reps
+        float(loss)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            params, opt, loss = train_step(params, opt, latents)
+        float(loss)
+        dt_step = (time.perf_counter() - t0) / reps
+    except Exception as e:
+        log(f"full train-step row failed ({type(e).__name__}): {str(e)[:200]}")
+        return {"fwd_bwd_rows":
+                [[d, s, round(t, 4)] for d, s, t, _ in fb_rows]}
 
     # MFU under both accountings (VERDICT r2 #3): 4x counts the remat
     # re-forward as useful FLOPs; standard practice is 3x (fwd + 2x bwd).

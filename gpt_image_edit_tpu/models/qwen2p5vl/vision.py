@@ -208,7 +208,10 @@ def apply(
 ) -> jnp.ndarray:
     """Returns merged image embeddings (S / merge_unit, out_hidden_size),
     in the original (pre-window) merge-unit order."""
-    x = jnp.dot(pixel_patches, params["patch_embed"]["kernel"].astype(pixel_patches.dtype))
+    # shared dispatch: the patch_embed kernel is ~1.5M elements, so
+    # quantize_params covers it — a raw jnp.dot would see the int8 payload
+    # dict (this crashed the quantized-VLM e2e bench path)
+    x = linear(params["patch_embed"], pixel_patches)
 
     order = jnp.asarray(aux.window_order)
     x = x[order]

@@ -154,7 +154,9 @@ def _quick_gelu(x):
 
 
 def vision_apply(params: Params, cfg: Vision2Config, pixel_patches, rope_cos, rope_sin, seg):
-    x = jnp.dot(pixel_patches, params["patch_embed"]["kernel"].astype(pixel_patches.dtype))
+    # linear() dispatch: the patch_embed kernel may be an int8 payload dict
+    # under --quantize_vlm (same regression as qwen2p5vl vision.apply)
+    x = linear(params["patch_embed"], pixel_patches)
     s, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
     cos = jnp.asarray(rope_cos)

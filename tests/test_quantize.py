@@ -414,3 +414,41 @@ class TestServingFidelityBudget:
         print(f"int4 e2e vs bf16: latent rel-L2 {rel:.4f}, img MAE {mae:.4f}")
         assert np.isfinite(rel) and rel < 1.0, rel
         assert mae < 0.25, mae
+
+
+class TestQuantizedVisionTower:
+    """Regression: the ViT patch_embed kernel is ~1.5M elements at full
+    width, so --quantize_vlm covers it — every matmul in vision.apply must
+    go through linear()'s dict dispatch (a raw jnp.dot on the int8 payload
+    crashed the quantized-VLM e2e bench, round 3)."""
+
+    def _setup(self):
+        from gpt_image_edit_tpu.models.qwen2p5vl import vision as vision_mod
+        from gpt_image_edit_tpu.models.qwen2p5vl.config import Qwen2p5VLConfig
+
+        cfg = Qwen2p5VLConfig.tiny().vision
+        params = vision_mod.init(jax.random.key(0), cfg)
+        grid_thw = np.array([(1, 8, 8)], dtype=np.int64)
+        rng = np.random.default_rng(0)
+        px = rng.standard_normal((64, cfg.patch_dim)).astype(np.float32)
+        aux = vision_mod.vision_precompute(grid_thw, cfg)
+        ref = np.asarray(vision_mod.apply(params, cfg, jnp.asarray(px), aux))
+        return vision_mod, cfg, params, px, aux, ref
+
+    def test_int8_all_kernels(self):
+        vision_mod, cfg, params, px, aux, ref = self._setup()
+        qp = quantize_params(params, min_size=0)
+        assert isinstance(qp["patch_embed"]["kernel"], dict)
+        out = np.asarray(vision_mod.apply(qp, cfg, jnp.asarray(px), aux))
+        assert out.shape == ref.shape and np.isfinite(out).all()
+        rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+        assert rel < 0.15, rel
+
+    def test_w8a8_all_kernels(self):
+        vision_mod, cfg, params, px, aux, ref = self._setup()
+        qp = quantize_params(params, min_size=0, mode="w8a8")
+        assert isinstance(qp["patch_embed"]["kernel"], dict)
+        out = np.asarray(vision_mod.apply(qp, cfg, jnp.asarray(px), aux))
+        assert out.shape == ref.shape and np.isfinite(out).all()
+        rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+        assert rel < 0.25, rel
