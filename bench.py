@@ -470,11 +470,17 @@ def phase_scan() -> dict:
 
         lat = call(latents)
         _sync(jnp, lat)  # compile + warm + sync
-        t0 = time.perf_counter()
+        # per-rep sync + MIN: the axon tunnel occasionally stalls for tens
+        # of seconds mid-stream, which inflated a chained-mean measurement
+        # ~20x on one row (round 3); min-of-3 discards transient stalls and
+        # the per-rep scalar fetch costs ~ms against multi-second scans
+        ts = []
         for _ in range(reps):
-            lat = call(lat)  # chained scans, one sync at the end
-        _sync(jnp, lat)
-        return (time.perf_counter() - t0) / reps
+            t0 = time.perf_counter()
+            lat = call(lat)
+            _sync(jnp, lat)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
     full_dual, full_single = (19, 38) if on_tpu else (2, 3)
 
@@ -482,6 +488,14 @@ def phase_scan() -> dict:
         # least-squares fit t = a*nd + b*ns + c -> full-depth extrapolation
         if len(rows) < 2:
             return float("nan"), None
+        # drop stall-poisoned rows first: per-(nd+2ns)-unit cost is near
+        # constant across depths (measured spread <1%), so a row whose unit
+        # cost exceeds 1.5x the best row's was inflated by a tunnel stall
+        unit = [t / (nd + 2 * ns) for nd, ns, t in rows]
+        keep = [r for r, u in zip(rows, unit) if u <= 1.5 * min(unit)]
+        if len(keep) >= 2 and len(keep) < len(rows):
+            log(f"fit: dropped {len(rows) - len(keep)} stall-poisoned row(s)")
+            rows = keep
         A = np.array([[nd, ns, 1.0] for nd, ns, _ in rows])
         y = np.array([t for _, _, t in rows])
         coef, *_ = np.linalg.lstsq(A, y, rcond=None)
