@@ -656,9 +656,13 @@ def phase_e2e() -> dict:
     grid = (1, 32, 32) if on_tpu else (1, 4, 4)  # 448^2 / 14^2 patches
 
     abstract = jax.eval_shape(lambda k: init_vlm(k, cfg), jax.random.key(0))
-    params = _shape_params(jax, jnp, abstract)
     if on_tpu:
-        params = quantize_params(params, mode="weight_only", min_size=1 << 20)
+        # build int8 payloads DIRECTLY: the bf16 8B tree is ~16GB, i.e. at
+        # or over the whole chip's HBM — materialize-then-quantize OOMed
+        params = _int8_shape_params(jax, jnp, abstract, qkey="q",
+                                    min_elems=1 << 20)
+    else:
+        params = _shape_params(jax, jnp, abstract)
 
     aux = vision_precompute(np.asarray([grid]), cfg.vision)
     n_patches = grid[0] * grid[1] * grid[2]
@@ -712,10 +716,8 @@ def phase_e2e() -> dict:
     if on_tpu:
         params = None
         try:
-            params = quantize_params(
-                _shape_params(jax, jnp, abstract), mode="w8a8",
-                min_size=1 << 20,
-            )
+            params = _int8_shape_params(jax, jnp, abstract, qkey="q_w8a8",
+                                        min_elems=1 << 20)
             out = vlm_fwd(params, pixels, x_emb)
             _sync(jnp, out)
             o = chain(params, pixels, x_emb, out)
