@@ -45,7 +45,20 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 LAST_GOOD = os.path.join(REPO, "bench_last_good.json")
+EXPERIMENTS = os.path.join(REPO, "bench_experiments.jsonl")
 BASELINE_PER_CHIP = 0.25  # 2 img/s on 8 chips (BASELINE.json)
+
+
+def _log_experiment(kind: str, **fields) -> None:
+    """Append-only perf evidence (VERDICT r3 #6): every successful measured
+    row is persisted the moment it completes, so a wedged tunnel or a killed
+    child can cost wall-time but never the rows already measured."""
+    rec = {"ts": time.strftime("%Y-%m-%d %H:%M:%S"), "kind": kind, **fields}
+    try:
+        with open(EXPERIMENTS, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except OSError as e:
+        log(f"experiment log write failed: {e}")
 
 # child phases write partial results here as rows complete, so a phase
 # timeout (e.g. a pathological Mosaic compile on the last variant) loses
@@ -136,11 +149,16 @@ def _run_phase_subprocess(phase: str, timeout_s: float) -> dict | None:
     return None
 
 
-def _emit(payload: dict, save: bool = True) -> None:
+def _emit(payload: dict, save: bool = True, detail: dict | None = None) -> None:
     if save:
+        blob = {"saved_at": time.strftime("%Y-%m-%d %H:%M:%S"), **payload}
+        if detail:
+            # raw phase dicts (depth rows, medians, per-component e2e times)
+            # for round-over-round auditability (ADVICE r3 #2); never emitted
+            # on stdout — the driver contract stays one 4-key JSON line
+            blob["detail"] = detail
         with open(LAST_GOOD, "w") as f:
-            json.dump({"saved_at": time.strftime("%Y-%m-%d %H:%M:%S"),
-                       **payload}, f, indent=1)
+            json.dump(blob, f, indent=1)
     print(json.dumps(payload))
 
 
@@ -207,6 +225,7 @@ def supervise() -> int:
             with open(LAST_GOOD) as f:
                 cached = json.load(f)
             saved_at = cached.pop("saved_at", "unknown time")
+            cached.pop("detail", None)
             cached["metric"] = (
                 f"[CACHED {saved_at}; TPU tunnel unavailable at bench time] "
                 + cached["metric"]
@@ -237,7 +256,8 @@ def supervise() -> int:
             log("skipping train phase: tunnel still down after e2e failure")
 
     if scan is not None:
-        _emit(_assemble(scan, e2e, train), save=True)
+        _emit(_assemble(scan, e2e, train), save=True,
+              detail={"scan": scan, "e2e": e2e, "train": train})
         return 0
 
     log("scan phase failed twice; falling back to cache if present")
@@ -245,6 +265,7 @@ def supervise() -> int:
         with open(LAST_GOOD) as f:
             cached = json.load(f)
         saved_at = cached.pop("saved_at", "unknown time")
+        cached.pop("detail", None)
         cached["metric"] = (
             f"[CACHED {saved_at}; TPU bench run failed this round] "
             + cached["metric"]
@@ -279,10 +300,15 @@ def _sync(jnp, x) -> float:
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
-def _int8_shape_params(jax, jnp, abstract, qkey="q", min_elems=1 << 22):
+def _int8_shape_params(jax, jnp, abstract, qkey="q", min_elems=1 << 22,
+                       float_dtype=None):
     """Shape-only param tree with big kernels as quantized subtrees
     (building a bf16 tree first would OOM the chip at full depth).
-    qkey "q"/"q_w8a8" = int8; "q4" = packed int4 with 64-group scales."""
+    qkey "q"/"q_w8a8" = int8; "q4" = packed int4 with 64-group scales.
+    float_dtype (e.g. bf16): dtype for the non-quantized float leaves —
+    serving loads checkpoints bf16, so an fp32 eval_shape tree (the VLM
+    init has no dtype arg) would overstate HBM by ~1.2GB (the 152k-row
+    embedding table alone is 2.18GB fp32 vs 1.09GB bf16)."""
     flat, _ = jax.tree_util.tree_flatten_with_path(abstract)
     leaves = []
     for kp, s in flat:
@@ -303,7 +329,10 @@ def _int8_shape_params(jax, jnp, abstract, qkey="q", min_elems=1 << 22):
                 "scale": jnp.full(s.shape[:-2] + (1, s.shape[-1]), 0.01, jnp.float32),
             })
         else:
-            leaves.append(jnp.full(s.shape, 0.01, s.dtype))
+            dt = s.dtype
+            if float_dtype is not None and jnp.issubdtype(s.dtype, jnp.floating):
+                dt = float_dtype
+            leaves.append(jnp.full(s.shape, 0.01, dt))
     by_path = {
         tuple(getattr(k, "key", getattr(k, "idx", k)) for k in kp): leaf
         for (kp, _), leaf in zip(flat, leaves)
@@ -319,12 +348,15 @@ def _int8_shape_params(jax, jnp, abstract, qkey="q", min_elems=1 << 22):
     return _build_tree(abstract)
 
 
-def _train_full_mlp2(jax, jnp, optax, h, s_txt, reps=3):
+def _train_full_mlp2(jax, jnp, optax, h, s_txt, reps=3, qkey="q"):
     """TRUE full-depth (19,38) measured train step for the only_tune_mlp2
-    stage: int8-frozen FLUX (weight-only, bf16 compute — the
-    model_config.quantize_frozen semantics), remat, grads through all 57
+    stage: quantized-frozen FLUX (weight-only int8 or int4, bf16 compute —
+    the model_config.quantize_frozen semantics), remat, grads through all 57
     blocks into a trainable MLP2 projector (3584 -> 12288 -> 4096 SiLU,
-    ref:univa/models/qwen2p5vl MLP2). Returns seconds/step."""
+    ref:univa/models/qwen2p5vl MLP2). Returns seconds/step.
+
+    qkey="q4" (5.9GB frozen tree) is the fit-on-16GB mode: int8 (11.8GB) +
+    remat activations at 1024^2 OOMed in round 3 (BENCH_r03)."""
     from gpt_image_edit_tpu.models.flux import FluxConfig, apply_flux, init_flux
     from gpt_image_edit_tpu.ops.packing import latent_image_ids
 
@@ -337,7 +369,7 @@ def _train_full_mlp2(jax, jnp, optax, h, s_txt, reps=3):
     abstract = jax.eval_shape(
         lambda k: init_flux(k, cfg, jnp.bfloat16), jax.random.key(0)
     )
-    frozen = _int8_shape_params(jax, jnp, abstract, qkey="q")
+    frozen = _int8_shape_params(jax, jnp, abstract, qkey=qkey)
 
     # trainable MLP2 (bf16 master-in-bench; the real trainer keeps fp32)
     mlp2 = {
@@ -480,7 +512,9 @@ def phase_scan() -> dict:
             lat = call(lat)
             _sync(jnp, lat)
             ts.append(time.perf_counter() - t0)
-        return min(ts)
+        # min = stall-robust headline; median recorded alongside (ADVICE r3
+        # #4: keep a consistent statistic for round-over-round comparison)
+        return min(ts), float(np.median(ts))
 
     full_dual, full_single = (19, 38) if on_tpu else (2, 3)
 
@@ -490,12 +524,15 @@ def phase_scan() -> dict:
             return float("nan"), None
         # drop stall-poisoned rows first: per-(nd+2ns)-unit cost is near
         # constant across depths (measured spread <1%), so a row whose unit
-        # cost exceeds 1.5x the best row's was inflated by a tunnel stall
-        unit = [t / (nd + 2 * ns) for nd, ns, t in rows]
-        keep = [r for r, u in zip(rows, unit) if u <= 1.5 * min(unit)]
-        if len(keep) >= 2 and len(keep) < len(rows):
-            log(f"fit: dropped {len(rows) - len(keep)} stall-poisoned row(s)")
-            rows = keep
+        # cost exceeds 1.5x the best row's was inflated by a tunnel stall.
+        # TPU-only (ADVICE r3 #1): on the CPU smoke depths the fixed per-call
+        # intercept dominates short rows and would trip the threshold.
+        if on_tpu:
+            unit = [t / (nd + 2 * ns) for nd, ns, t in rows]
+            keep = [r for r, u in zip(rows, unit) if u <= 1.5 * min(unit)]
+            if len(keep) >= 2 and len(keep) < len(rows):
+                log(f"fit: dropped {len(rows) - len(keep)} stall-poisoned row(s)")
+                rows = keep
         A = np.array([[nd, ns, 1.0] for nd, ns, _ in rows])
         y = np.array([t for _, _, t in rows])
         coef, *_ = np.linalg.lstsq(A, y, rcond=None)
@@ -503,21 +540,25 @@ def phase_scan() -> dict:
         return b / t_full, coef
 
     rows = []
+    rows_median = []
     measured = {}  # label -> seconds PER IMAGE (scan time / batch) at TRUE full depth
     for nd, ns in depths:
         try:
             cfg, params = build(nd, ns)
-            t = run_once(cfg, params)
+            t, t_med = run_once(cfg, params)
         except Exception as e:
             log(f"depth ({nd},{ns}) row failed ({type(e).__name__}): "
                 f"{str(e)[:200]}")
             continue
         log(f"depth ({nd:2d} dual, {ns:2d} single): {t:.3f}s / {steps}-step scan "
-            f"({t / steps * 1000:.1f} ms/step)")
+            f"({t / steps * 1000:.1f} ms/step; median {t_med:.3f}s)")
         rows.append((nd, ns, t))
+        rows_median.append((nd, ns, t_med))
         del params
-        _write_partial({"rows": rows, "measured": measured,
-                        "fit_img_s": _fit(rows)[0]})
+        _log_experiment("scan_depth", nd=nd, ns=ns, t_min_s=round(t, 4),
+                        t_median_s=round(t_med, 4), steps=steps)
+        _write_partial({"rows": rows, "rows_median": rows_median,
+                        "measured": measured, "fit_img_s": _fit(rows)[0]})
 
     # Ground-truth cross-check: the TRUE full-depth (19+38) model fits one
     # chip with int8 quantized weights (11.8GB). Two variants:
@@ -535,9 +576,9 @@ def phase_scan() -> dict:
             lambda key: init_flux(key, cfg, jnp.bfloat16), jax.random.key(0)
         )
         params = _int8_shape_params(jax, jnp, abstract, qkey=qkey)
-        t = run_once(cfg, params, batch=batch)
+        t, t_med = run_once(cfg, params, batch=batch)
         del params
-        return t
+        return t, t_med
 
     if on_tpu:
         # (a W8A8 + int8-QK^T attention row was measured 835.4 ms/step vs
@@ -591,18 +632,24 @@ def phase_scan() -> dict:
             variants.append(("q_w8a8", f"W8A8 scan-u{u}", "auto", True, u, 1))
         for qkey, label, attn, scan_b, scan_u, nb in variants:
             try:
-                t = _full_depth_int8(qkey, attn, scan_blocks=scan_b,
-                                     scan_unroll=scan_u, batch=nb)
+                t, t_med = _full_depth_int8(qkey, attn, scan_blocks=scan_b,
+                                            scan_unroll=scan_u, batch=nb)
                 # measured[] stores SECONDS PER IMAGE so _assemble's 1/t and
                 # min() comparisons stay correct across batch sizes
                 t_img = t / nb
                 log(f"{label} full depth (19 dual, 38 single): {t:.3f}s / "
-                    f"{steps}-step scan ({t / steps * 1000:.1f} ms/step) "
+                    f"{steps}-step scan ({t / steps * 1000:.1f} ms/step; "
+                    f"median {t_med:.3f}s) "
                     f"=> {nb / t:.4f} img/s/chip MEASURED full model"
                     + (f" (batch {nb}: {t_img:.3f}s/img)" if nb > 1 else ""))
                 measured[label] = t_img
-                _write_partial({"rows": rows, "measured": measured,
-                                "fit_img_s": _fit(rows)[0]})
+                _log_experiment("scan_full_depth", label=label, qkey=qkey,
+                                batch=nb, scan_unroll=scan_u,
+                                scan_blocks=scan_b, t_min_s=round(t, 4),
+                                t_median_s=round(t_med, 4),
+                                s_per_img=round(t_img, 4), steps=steps)
+                _write_partial({"rows": rows, "rows_median": rows_median,
+                                "measured": measured, "fit_img_s": _fit(rows)[0]})
             except Exception as e:
                 log(f"{label} full-depth run failed ({type(e).__name__}): {str(e)[:200]}")
 
@@ -617,6 +664,7 @@ def phase_scan() -> dict:
 
     return {
         "rows": rows,
+        "rows_median": rows_median,
         "measured": measured,
         "fit_img_s": imgs_per_sec,
     }
@@ -629,9 +677,16 @@ def phase_scan() -> dict:
 def phase_e2e() -> dict:
     """Time the non-denoiser components of one edit at serving shapes
     (ref:univa/serve/cli.py:199-254): int8 7B VLM denoise_embeds forward
-    (ViT 448^2 view -> LM trunk -> MLP2) and fp32 VAE encode + decode at
-    1024^2. The composed edit latency is reported by the supervisor."""
+    (ViT 448^2 view -> LM trunk -> MLP2) and bf16 VAE encode + decode at
+    1024^2. The composed edit latency is reported by the supervisor.
+
+    VERDICT r3 #1 hardening: every row is individually guarded, the result
+    dict (incl. the composed t_other_s over whatever components completed)
+    is re-written after EVERY row, and an OOM-ed row clears compile caches
+    + collects before the next row so one failure cannot zero the phase."""
     jax = _child_jax()
+    import gc
+
     import jax.numpy as jnp
 
     from gpt_image_edit_tpu.models.qwen2p5vl import language, vision
@@ -642,11 +697,34 @@ def phase_e2e() -> dict:
     from gpt_image_edit_tpu.models.qwen2p5vl.vision import vision_precompute
     from gpt_image_edit_tpu.models.vae import VaeConfig, init_vae
     from gpt_image_edit_tpu.models.vae import model as vae_model
-    from gpt_image_edit_tpu.utils.quantize import quantize_params
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
     log(f"device: {dev}, platform: {dev.platform}")
+
+    res: dict = {"t_vlm_s": None, "t_vlm_w8a8_s": None, "t_t5_s": None,
+                 "t_vae_enc_s": None, "t_vae_dec_s": None}
+
+    def _compose() -> None:
+        """t_other_s = sum of the components measured SO FAR (the compose is
+        only meaningful once the VLM and VAE rows exist; T5 folds in when
+        measured). Written after every row so a late OOM keeps the rest."""
+        t_vlm_best = res["t_vlm_s"]
+        if t_vlm_best is not None and res["t_vlm_w8a8_s"]:
+            t_vlm_best = min(t_vlm_best, res["t_vlm_w8a8_s"])
+        if (t_vlm_best is not None and res["t_vae_enc_s"] is not None
+                and res["t_vae_dec_s"] is not None):
+            res["t_other_s"] = (t_vlm_best + (res["t_t5_s"] or 0.0)
+                                + res["t_vae_enc_s"] + res["t_vae_dec_s"])
+        _write_partial(res)
+
+    def _row_failed(name: str, e: Exception) -> None:
+        log(f"{name} row failed ({type(e).__name__}): {str(e)[:300]}")
+        # an OOM leaves executables + temp buffers behind; drop compile
+        # caches (re-compiles hit the persistent .jax_cache on disk) and
+        # collect so the next row starts from a clean HBM high-water mark
+        jax.clear_caches()
+        gc.collect()
 
     cfg = Qwen2p5VLConfig() if on_tpu else Qwen2p5VLConfig.tiny()
     b = 1
@@ -656,13 +734,6 @@ def phase_e2e() -> dict:
     grid = (1, 32, 32) if on_tpu else (1, 4, 4)  # 448^2 / 14^2 patches
 
     abstract = jax.eval_shape(lambda k: init_vlm(k, cfg), jax.random.key(0))
-    if on_tpu:
-        # build int8 payloads DIRECTLY: the bf16 8B tree is ~16GB, i.e. at
-        # or over the whole chip's HBM — materialize-then-quantize OOMed
-        params = _int8_shape_params(jax, jnp, abstract, qkey="q",
-                                    min_elems=1 << 20)
-    else:
-        params = _shape_params(jax, jnp, abstract)
 
     aux = vision_precompute(np.asarray([grid]), cfg.vision)
     n_patches = grid[0] * grid[1] * grid[2]
@@ -694,50 +765,64 @@ def phase_e2e() -> dict:
         x = (x * (1.0 + 0.0 * jnp.mean(prev.astype(jnp.float32)))).astype(x.dtype)
         return vlm_fwd(p, pixels, x)
 
-    out = vlm_fwd(params, pixels, x_emb)
-    _sync(jnp, out)
-    o = chain(params, pixels, x_emb, out)
-    _sync(jnp, o)  # compile chain
     reps = 8
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        o = chain(params, pixels, x_emb, o)
-    _sync(jnp, o)
-    t_vlm = (time.perf_counter() - t0) / reps
-    log(f"VLM denoise_embeds fwd (seq {seq} + ViT {n_patches} patches, "
-        f"{'int8' if on_tpu else 'bf16 tiny'}): {t_vlm * 1000:.1f} ms, "
-        f"{n_img_tokens} image tokens")
-    del params
 
-    # W8A8 VLM comparison row: the prefill is one big matmul-bound forward,
-    # the same shape class the FLUX W8A8 mode sped up ~25% — measure whether
-    # --quantize_vlm w8a8 pays on the e2e path too
-    t_vlm_w8a8 = None
-    if on_tpu:
+    def _time_vlm(qkey: str) -> float:
         params = None
         try:
-            params = _int8_shape_params(jax, jnp, abstract, qkey="q_w8a8",
-                                        min_elems=1 << 20)
+            if on_tpu:
+                # build int8 payloads DIRECTLY at serving dtypes: the bf16 8B
+                # tree is ~16GB (materialize-then-quantize OOMed) and the
+                # fp32 eval_shape dtypes overstate the float leaves ~2x
+                params = _int8_shape_params(jax, jnp, abstract, qkey=qkey,
+                                            min_elems=1 << 20,
+                                            float_dtype=jnp.bfloat16)
+            else:
+                params = _shape_params(jax, jnp, abstract)
             out = vlm_fwd(params, pixels, x_emb)
             _sync(jnp, out)
             o = chain(params, pixels, x_emb, out)
-            _sync(jnp, o)
+            _sync(jnp, o)  # compile chain
             t0 = time.perf_counter()
             for _ in range(reps):
                 o = chain(params, pixels, x_emb, o)
             _sync(jnp, o)
-            t_vlm_w8a8 = (time.perf_counter() - t0) / reps
-            log(f"VLM denoise_embeds fwd W8A8: {t_vlm_w8a8 * 1000:.1f} ms "
-                f"({(t_vlm / t_vlm_w8a8 - 1) * 100:+.1f}% vs weight-only)")
-        except Exception as e:
-            log(f"W8A8 VLM row failed ({type(e).__name__}): {str(e)[:200]}")
+            return (time.perf_counter() - t0) / reps
         finally:
-            del params  # free ~7GB HBM even on failure (T5/VAE rows follow)
+            del params  # free ~7GB HBM even on failure (more rows follow)
+
+    try:
+        t_vlm = _time_vlm("q")
+        res["t_vlm_s"] = t_vlm
+        log(f"VLM denoise_embeds fwd (seq {seq} + ViT {n_patches} patches, "
+            f"{'int8' if on_tpu else 'bf16 tiny'}): {t_vlm * 1000:.1f} ms, "
+            f"{n_img_tokens} image tokens")
+        _log_experiment("e2e_vlm", quant="int8" if on_tpu else "bf16-tiny",
+                        seq=seq, t_s=round(t_vlm, 4))
+    except Exception as e:
+        _row_failed("int8 VLM", e)
+    _compose()
+
+    # W8A8 VLM comparison row: the prefill is one big matmul-bound forward,
+    # the same shape class the FLUX W8A8 mode sped up ~25% — measure whether
+    # --quantize_vlm w8a8 pays on the e2e path too
+    if on_tpu:
+        try:
+            t_w8a8 = _time_vlm("q_w8a8")
+            res["t_vlm_w8a8_s"] = t_w8a8
+            base = res["t_vlm_s"]
+            cmp = (f" ({(base / t_w8a8 - 1) * 100:+.1f}% vs weight-only)"
+                   if base else "")
+            log(f"VLM denoise_embeds fwd W8A8: {t_w8a8 * 1000:.1f} ms{cmp}")
+            _log_experiment("e2e_vlm", quant="w8a8", seq=seq,
+                            t_s=round(t_w8a8, 4))
+        except Exception as e:
+            _row_failed("W8A8 VLM", e)
+        _compose()
 
     # T5-XXL encoder forward (the reference's default serving path concats
     # T5 embeds after the VLM ones, ref:univa/serve/cli.py joint_with_t5;
     # 4.7B encoder, int8 weight-only, prompt bucket 512)
-    t_t5 = None
     tparams = None
     try:
         from gpt_image_edit_tpu.models import t5 as t5_model
@@ -746,11 +831,12 @@ def phase_e2e() -> dict:
         tabs = jax.eval_shape(
             lambda k: t5_model.init(k, tcfg), jax.random.key(0)
         )
-        tparams = _shape_params(jax, jnp, tabs)
         if on_tpu:
-            tparams = quantize_params(
-                tparams, mode="weight_only", min_size=1 << 20
-            )
+            tparams = _int8_shape_params(jax, jnp, tabs, qkey="q",
+                                         min_elems=1 << 20,
+                                         float_dtype=jnp.bfloat16)
+        else:
+            tparams = _shape_params(jax, jnp, tabs)
         t5_seq = 512 if on_tpu else 32
         ids = jnp.zeros((b, t5_seq), jnp.int32)
 
@@ -764,12 +850,15 @@ def phase_e2e() -> dict:
             o = t5_fwd(tparams, ids)
         _sync(jnp, o)
         t_t5 = (time.perf_counter() - t0) / reps
+        res["t_t5_s"] = t_t5
         log(f"T5-XXL encode (seq {t5_seq}, "
             f"{'int8' if on_tpu else 'tiny'}): {t_t5 * 1000:.1f} ms")
+        _log_experiment("e2e_t5", seq=t5_seq, t_s=round(t_t5, 4))
     except Exception as e:
-        log(f"T5 row failed ({type(e).__name__}): {str(e)[:200]}")
+        _row_failed("T5", e)
     finally:
         del tparams  # free the 4.7GB int8 tree before the 1024^2 VAE rows
+    _compose()
 
     vcfg = VaeConfig() if on_tpu else VaeConfig.tiny()
     vabs = jax.eval_shape(lambda k: init_vae(k, vcfg), jax.random.key(0))
@@ -803,26 +892,30 @@ def phase_e2e() -> dict:
 
     # serving default is bf16 (ref:univa/serve/cli.py:39,67 serves the whole
     # pipeline bf16); fp32 logged for comparison on TPU
-    t_enc, t_dec = time_vae(jnp.bfloat16)
+    try:
+        t_enc, t_dec = time_vae(jnp.bfloat16)
+        res["t_vae_enc_s"], res["t_vae_dec_s"] = t_enc, t_dec
+        _log_experiment("e2e_vae", dtype="bfloat16", hw=hw,
+                        t_enc_s=round(t_enc, 4), t_dec_s=round(t_dec, 4))
+    except Exception as e:
+        _row_failed("bf16 VAE", e)
+    _compose()
     if on_tpu:
         try:
             time_vae(jnp.float32)
         except Exception as e:
             log(f"fp32 VAE comparison row failed ({type(e).__name__})")
 
-    t_vlm_best = min(t_vlm, t_vlm_w8a8) if t_vlm_w8a8 else t_vlm
-    t_other = t_vlm_best + (t_t5 or 0.0) + t_enc + t_dec
-    log(f"non-scan serving components total: {t_other:.3f}s "
-        f"(VLM {t_vlm_best:.3f} + T5 {t_t5 or 0:.3f} + VAE enc {t_enc:.3f} "
-        f"+ VAE dec {t_dec:.3f})")
-    return {
-        "t_vlm_s": t_vlm,
-        "t_vlm_w8a8_s": t_vlm_w8a8,
-        "t_t5_s": t_t5,
-        "t_vae_enc_s": t_enc,
-        "t_vae_dec_s": t_dec,
-        "t_other_s": t_other,
-    }
+    if "t_other_s" in res:
+        log(f"non-scan serving components total: {res['t_other_s']:.3f}s "
+            f"(VLM {min(x for x in (res['t_vlm_s'], res['t_vlm_w8a8_s']) if x):.3f}"
+            f" + T5 {res['t_t5_s'] or 0:.3f} + VAE enc {res['t_vae_enc_s']:.3f}"
+            f" + VAE dec {res['t_vae_dec_s']:.3f})")
+        _log_experiment("e2e_composed", t_other_s=round(res["t_other_s"], 4))
+    else:
+        log("e2e compose unavailable (VLM or VAE row missing); partial rows "
+            "reported")
+    return res
 
 
 # --------------------------------------------------------------------------
@@ -887,10 +980,12 @@ def phase_train() -> dict:
 
         return loss_fn
 
-    # --- fwd+bwd-only at two depths; (4,8) can OOM on 16GB (grads+remat
-    # activations), so (3,6) is the fallback second point for the fit ---
+    # --- fwd+bwd-only at two depths for the full-depth fit. Ladder
+    # re-sized to what actually fits (VERDICT r3 #3): round 3's (4,8) and
+    # even the (3,6) retry OOMed — (2,6) is ~7.3GB params+grads and safe;
+    # (2,5) is the fallback second point ---
     fb_rows = []
-    fb_depths = [(2, 4), (4, 8), (3, 6)] if on_tpu else [(1, 2), (2, 3)]
+    fb_depths = [(2, 4), (2, 6), (2, 5)] if on_tpu else [(1, 2), (2, 3)]
     for nd, ns in fb_depths:
         if len(fb_rows) >= 2:
             break
@@ -916,10 +1011,13 @@ def phase_train() -> dict:
         except Exception as e:
             log(f"fwd+bwd depth ({nd},{ns}) failed ({type(e).__name__}): "
                 f"{str(e)[:200]}")
-            # an OOM-ed row must not poison the rest of the phase: drop the
-            # big locals (params/grads of the failed shape) and collect so
-            # the next build() starts from a clean HBM high-water mark
+            # an OOM-ed row must not poison the rest of the phase (round 3:
+            # the (4,8) OOM took every later row down with it): drop the big
+            # locals, clear compile caches (executables pin buffers; the
+            # persistent .jax_cache on disk makes recompiles cheap) and
+            # collect so the next build() starts from a clean high-water mark
             params = grads = None
+            jax.clear_caches()
             import gc
 
             gc.collect()
@@ -928,6 +1026,8 @@ def phase_train() -> dict:
         log(f"fwd+bwd depth ({nd},{ns}): {dt * 1000:.1f} ms "
             f"({n_params / 1e9:.2f}B params)")
         del params, grads
+        _log_experiment("train_fwd_bwd", nd=nd, ns=ns, t_s=round(dt, 4),
+                        n_params=n_params)
         _write_partial({"fwd_bwd_rows":
                         [[d, s, round(t, 4)] for d, s, t, _ in fb_rows]})
 
@@ -958,21 +1058,40 @@ def phase_train() -> dict:
         dt_step = (time.perf_counter() - t0) / reps
     except Exception as e:
         log(f"full train-step row failed ({type(e).__name__}): {str(e)[:200]}")
-        return {"fwd_bwd_rows":
-                [[d, s, round(t, 4)] for d, s, t, _ in fb_rows]}
+        jax.clear_caches()
+        # the full_mlp2 ladder below can still land its row even when this
+        # one OOMed; fall through with dt_step unset
+        dt_step = None
+        params = opt = None
+        import gc
 
-    # MFU under both accountings (VERDICT r2 #3): 4x counts the remat
-    # re-forward as useful FLOPs; standard practice is 3x (fwd + 2x bwd).
+        gc.collect()
+
+    res: dict = {"fwd_bwd_rows":
+                 [[d, s, round(t, 4)] for d, s, t, _ in fb_rows]}
     tokens = 2 * s_tgt + s_txt
-    mfu4 = 4 * 2 * n_params * tokens * b / dt_step / 197e12
-    mfu3 = 3 * 2 * n_params * tokens * b / dt_step / 197e12
-    log(f"train step depth ({nd},{ns}): {dt_step * 1000:.1f} ms, "
-        f"MFU {mfu3:.3f} (3x standard) / {mfu4:.3f} (4x remat-credited)")
+    if dt_step is not None:
+        # MFU under both accountings (VERDICT r2 #3): 4x counts the remat
+        # re-forward as useful FLOPs; standard practice is 3x (fwd + 2x bwd).
+        mfu4 = 4 * 2 * n_params * tokens * b / dt_step / 197e12
+        mfu3 = 3 * 2 * n_params * tokens * b / dt_step / 197e12
+        log(f"train step depth ({nd},{ns}): {dt_step * 1000:.1f} ms, "
+            f"MFU {mfu3:.3f} (3x standard) / {mfu4:.3f} (4x remat-credited)")
+        res.update({
+            "train_step_ms_depth": round(dt_step * 1000, 1),
+            "train_depth": [nd, ns],
+            "train_mfu_3x": round(mfu3, 3),
+            "train_mfu_4x_remat": round(mfu4, 3),
+            "params_bench": n_params,
+        })
+        _log_experiment("train_step", nd=nd, ns=ns, t_s=round(dt_step, 4),
+                        mfu_3x=round(mfu3, 3), mfu_4x=round(mfu4, 3))
+        _write_partial(res)
 
     # remat_policy="dots" comparison: saves matmul outputs so the bwd
     # recompute is elementwise-only (spends spare HBM on MFU)
     dt_dots = None
-    if on_tpu:
+    if on_tpu and dt_step is not None:
         try:
             del params, opt
             cfg_d, params_d = build(nd, ns, remat_policy="dots")
@@ -996,75 +1115,91 @@ def phase_train() -> dict:
             log(f"train step depth ({nd},{ns}) remat_policy=dots: "
                 f"{dt_dots * 1000:.1f} ms, MFU {mfu3_d:.3f} (3x)")
             del params_d, opt_d
+            res["train_step_ms_dots_policy"] = round(dt_dots * 1000, 1)
+            _log_experiment("train_step_dots", nd=nd, ns=ns,
+                            t_s=round(dt_dots, 4), mfu_3x=round(mfu3_d, 3))
+            _write_partial(res)
         except Exception as e:
             log(f"dots-policy train row failed ({type(e).__name__}): "
                 f"{str(e)[:200]}")
+            jax.clear_caches()
 
     # full-depth estimate: measured two-depth fwd+bwd fit + measured
     # optimizer-update cost scaled linearly in param count
-    if len(fb_rows) < 2:
+    if len(fb_rows) >= 2 and dt_step is not None:
+        (d1, s1, t1, p1), (d2, s2, t2, p2) = fb_rows
+        # per-block-unit cost from the two points (dual counts 1, single 0.5x
+        # width but same token count -> use the same (nd + 2ns)-unit scale as
+        # the inference fit)
+        u1, u2 = d1 + 2 * s1, d2 + 2 * s2
+        slope = (t2 - t1) / (u2 - u1)
+        const = t1 - slope * u1
+        t_fb_full = slope * (19 + 2 * 38) + const
+        t_opt = dt_step - t1  # optimizer+update overhead at fb_depths[0]
+        full_params = 11.9e9 if on_tpu else p1 * (19 + 2 * 38) / u1
+        t_full = t_fb_full + t_opt * (full_params / p1)
+        log(f"full-depth (19,38) estimate: fwd+bwd {t_fb_full:.2f}s (two-depth "
+            f"fit) + optimizer {t_opt * full_params / p1:.2f}s (measured at "
+            f"({d1},{s1}), scaled by params) = {t_full:.2f}s/step")
+        log("note: a true (19,38) bf16 single-chip train step is infeasible on "
+            "16GB HBM (24GB params alone); multi-chip training is validated by "
+            "dryrun_multichip and tests/test_trainer_integration.py")
+        res["train_step_s_full_depth_est"] = round(t_full, 2)
+        _write_partial(res)
+    elif dt_step is not None:
         log("two-depth fit unavailable; reporting the single train-step row")
-        return {
-            "train_step_ms_depth": round(dt_step * 1000, 1),
-            "train_depth": [nd, ns],
-            "train_mfu_3x": round(mfu3, 3),
-            "train_mfu_4x_remat": round(mfu4, 3),
-            "fwd_bwd_rows": [[d, s, round(t, 4)] for d, s, t, _ in fb_rows],
-            "params_bench": n_params,
-        }
-    (d1, s1, t1, p1), (d2, s2, t2, p2) = fb_rows
-    # per-block-unit cost from the two points (dual counts 1, single 0.5x
-    # width but same token count -> use the same (nd + 2ns)-unit scale as
-    # the inference fit)
-    u1, u2 = d1 + 2 * s1, d2 + 2 * s2
-    slope = (t2 - t1) / (u2 - u1)
-    const = t1 - slope * u1
-    t_fb_full = slope * (19 + 2 * 38) + const
-    t_opt = dt_step - t1  # optimizer+update overhead at depth fb_depths[0]
-    full_params = 11.9e9 if on_tpu else p1 * (19 + 2 * 38) / u1
-    t_full = t_fb_full + t_opt * (full_params / p1)
-    log(f"full-depth (19,38) estimate: fwd+bwd {t_fb_full:.2f}s (two-depth "
-        f"fit) + optimizer {t_opt * full_params / p1:.2f}s (measured at "
-        f"({d1},{s1}), scaled by params) = {t_full:.2f}s/step")
-    log("note: a true (19,38) bf16 single-chip train step is infeasible on "
-        "16GB HBM (24GB params alone); multi-chip training is validated by "
-        "dryrun_multichip and tests/test_trainer_integration.py")
 
     # --- TRUE full-depth measured train row: the only_tune_mlp2 stage ---
     # (a real reference training mode, ref:univa/train/train_denoiser.py
-    # get_trainable_params only_tune_mlp2). FLUX frozen int8 weight-only
-    # (11.8GB, the repo's model_config.quantize_frozen semantics) + remat;
-    # grads flow through the FULL 57-block stack into the MLP2 projector.
-    # This measures real full-depth fwd+bwd wall time on one chip — the
-    # number the two-depth fit above extrapolates.
-    t_full_mlp2 = None
+    # get_trainable_params only_tune_mlp2). FLUX frozen quantized weight-only
+    # (the repo's model_config.quantize_frozen semantics) + remat; grads flow
+    # through the FULL 57-block stack into the MLP2 projector. This measures
+    # real full-depth fwd+bwd wall time on one chip — the number the
+    # two-depth fit above extrapolates. int8 (11.8GB) OOMed at both 1024^2
+    # and 512^2 in round 3; the int4 tree (5.9GB) is the fit-on-16GB ladder.
     if on_tpu:
-        for hh in (128, 64):  # 1024^2, fall back to 512^2 if activations OOM
+        full_tokens = None
+        for hh, qk in ((64, "q4"), (128, "q4"), (64, "q")):
+            label = {"q": "int8", "q4": "int4"}[qk]
             try:
-                t_full_mlp2 = _train_full_mlp2(jax, jnp, optax, hh, s_txt)
-                log(f"train_full: only_tune_mlp2 (19,38) int8-frozen FLUX at "
-                    f"{hh * 8}^2: {t_full_mlp2 * 1000:.1f} ms/step MEASURED "
-                    f"full depth")
-                break
+                t_full_mlp2 = _train_full_mlp2(jax, jnp, optax, hh, s_txt,
+                                               qkey=qk)
+                full_tokens = 2 * (hh // 2) ** 2 + s_txt
+                # MLP2-stage MFU: fwd through 11.9B frozen + bwd builds
+                # activation grads through all blocks but NO weight grads
+                # (2x fwd cost), + remat re-forward => 3x fwd under 4x-style
+                # accounting, 2.5x honest (fwd + activation-grad bwd)
+                flops_fwd = 2 * 11.9e9 * full_tokens
+                mfu25 = 2.5 * flops_fwd / t_full_mlp2 / 197e12
+                mfu3f = 3 * flops_fwd / t_full_mlp2 / 197e12
+                log(f"train_full: only_tune_mlp2 (19,38) {label}-frozen FLUX "
+                    f"at {hh * 8}^2: {t_full_mlp2 * 1000:.1f} ms/step "
+                    f"MEASURED full depth (MFU {mfu25:.3f} @2.5x / "
+                    f"{mfu3f:.3f} @3x-remat)")
+                key = f"train_full_mlp2_ms_{label}_{hh * 8}sq"
+                res[key] = round(t_full_mlp2 * 1000, 1)
+                res["train_full_mlp2_ms_measured"] = round(
+                    t_full_mlp2 * 1000, 1
+                )
+                res["train_full_mlp2_mfu_2p5x"] = round(mfu25, 3)
+                res["train_full_mlp2_mfu_3x_remat"] = round(mfu3f, 3)
+                _log_experiment("train_full_mlp2", quant=label, hw=hh * 8,
+                                t_s=round(t_full_mlp2, 4),
+                                mfu_2p5x=round(mfu25, 3))
+                _write_partial(res)
+                if hh == 128:
+                    break  # got the 1024^2 row; done
             except Exception as e:
-                log(f"train_full at {hh * 8}^2 failed ({type(e).__name__}): "
-                    f"{str(e)[:200]}")
+                log(f"train_full ({label}) at {hh * 8}^2 failed "
+                    f"({type(e).__name__}): {str(e)[:200]}")
+                jax.clear_caches()
+                import gc
 
-    return {
-        "train_step_ms_depth": round(dt_step * 1000, 1),
-        "train_depth": [nd, ns],
-        "train_mfu_3x": round(mfu3, 3),
-        "train_mfu_4x_remat": round(mfu4, 3),
-        "train_step_ms_dots_policy": (
-            round(dt_dots * 1000, 1) if dt_dots else None
-        ),
-        "fwd_bwd_rows": [[d, s, round(t, 4)] for d, s, t, _ in fb_rows],
-        "train_step_s_full_depth_est": round(t_full, 2),
-        "train_full_mlp2_ms_measured": (
-            round(t_full_mlp2 * 1000, 1) if t_full_mlp2 else None
-        ),
-        "params_bench": n_params,
-    }
+                gc.collect()
+                if "train_full_mlp2_ms_measured" in res and qk == "q":
+                    break  # int8 retry failed but an int4 row already landed
+
+    return res
 
 
 # --------------------------------------------------------------------------

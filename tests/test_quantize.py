@@ -452,3 +452,46 @@ class TestQuantizedVisionTower:
         assert out.shape == ref.shape and np.isfinite(out).all()
         rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
         assert rel < 0.25, rel
+
+
+class TestQuantizedVisionTowerQwen2VL:
+    """ADVICE r3 #3: qwen2vl's vision_apply received the same
+    jnp.dot -> linear() dispatch fix as qwen2p5vl (its patch_embed kernel is
+    also an int8 payload dict under --quantize_vlm min_size=0) but had no
+    quantized-params coverage, so that path could silently regress."""
+
+    def _setup(self):
+        from gpt_image_edit_tpu.models.qwen2vl import model as q2_mod
+
+        cfg = q2_mod.Qwen2VLConfig.tiny().vision
+        params = q2_mod.vision_init(jax.random.key(0), cfg)
+        grid_thw = np.array([(1, 8, 8)], dtype=np.int64)
+        rng = np.random.default_rng(0)
+        px = rng.standard_normal((64, cfg.patch_dim)).astype(np.float32)
+        cos, sin, seg = q2_mod.vision_rope(grid_thw, cfg)
+        ref = np.asarray(
+            q2_mod.vision_apply(params, cfg, jnp.asarray(px), cos, sin, seg)
+        )
+        return q2_mod, cfg, params, px, (cos, sin, seg), ref
+
+    def test_int8_all_kernels(self):
+        q2_mod, cfg, params, px, rope, ref = self._setup()
+        qp = quantize_params(params, min_size=0)
+        assert isinstance(qp["patch_embed"]["kernel"], dict)
+        out = np.asarray(
+            q2_mod.vision_apply(qp, cfg, jnp.asarray(px), *rope)
+        )
+        assert out.shape == ref.shape and np.isfinite(out).all()
+        rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+        assert rel < 0.15, rel
+
+    def test_w8a8_all_kernels(self):
+        q2_mod, cfg, params, px, rope, ref = self._setup()
+        qp = quantize_params(params, min_size=0, mode="w8a8")
+        assert isinstance(qp["patch_embed"]["kernel"], dict)
+        out = np.asarray(
+            q2_mod.vision_apply(qp, cfg, jnp.asarray(px), *rope)
+        )
+        assert out.shape == ref.shape and np.isfinite(out).all()
+        rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+        assert rel < 0.25, rel
