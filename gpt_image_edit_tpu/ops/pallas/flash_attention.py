@@ -644,7 +644,7 @@ def _grid_kernel(
 
 def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
                has_segments=True, interpret=False, need_lse=True,
-               use_kv_bias=False):
+               use_kv_bias=False, out_vma=None):
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     group = hq // hkv
@@ -677,10 +677,14 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
     # lse is only needed as a residual for the backward kernels; at inference
     # (primal path) a dummy 8-row buffer avoids a 107MB fp32 write per call
     lse_rows = sq if need_lse else 8
+    # out_vma: varying-mesh-axes annotation, required when this kernel runs
+    # inside a shard_map body (the ring-attention per-hop path) — shard_map's
+    # check_vma needs every pallas_call output to declare how it varies
+    vma = frozenset(out_vma) if out_vma else None
     common = dict(
         out_shape=[
-            jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, lse_rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype, vma=vma),
+            jax.ShapeDtypeStruct((b, hq, lse_rows, 128), jnp.float32, vma=vma),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * sq * skv * d,
@@ -900,6 +904,57 @@ def flash_attention(
         q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
         has_segments, interpret
     )
+
+
+def flash_attention_lse(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    pad_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+    interpret: bool = False,
+    out_vma=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """BSHD flash attention returning (out, lse (B, Hq, Sq) natural-log
+    logsumexp). The partial-result primitive for ring/context-parallel
+    attention: per-hop outputs merge exactly via
+        m' = max(m, lse_t); acc' = acc*e^(m-m') + o_t*e^(lse_t-m')
+    (blockwise-parallel-attention merge). Non-causal only (a per-hop global
+    causal offset is not plumbed into the kernel); NO custom VJP — training
+    paths must use the jnp ring hop, which jax.grad differentiates.
+
+    Fully-masked query rows return o=0 with a finite, very negative lse
+    (~-1.65e38 = _NEG_INF * ln2), so cross-hop merges stay NaN-free.
+    """
+    assert q.ndim == 4 and k.ndim == 4 and v.ndim == 4
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    if scale is None:
+        scale = d ** -0.5
+    block_q = min(block_q, sq)
+    block_kv = min(block_kv, skv)
+    assert sq % block_q == 0 and skv % block_kv == 0, (
+        f"flash_attention_lse needs block-aligned shapes, got "
+        f"sq={sq}%{block_q}, skv={skv}%{block_kv}"
+    )
+    if q_segment_ids is None:
+        q_seg = jnp.zeros((b, sq), jnp.int32)
+    else:
+        q_seg = q_segment_ids.astype(jnp.int32)
+    kv_seg = _merge_kv_seg(kv_segment_ids, pad_mask, b, skv)
+    has_segments = not (
+        q_segment_ids is None and kv_segment_ids is None and pad_mask is None
+    )
+    out, lse, _ = _flash_fwd(
+        q, k, v, q_seg, kv_seg, False, scale, block_q, block_kv,
+        has_segments, interpret, need_lse=True, out_vma=out_vma,
+    )
+    return out, lse[..., 0]
 
 
 def _merge_kv_seg(kv_segment_ids, pad_mask, b, skv):
