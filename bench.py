@@ -128,25 +128,51 @@ def wait_for_tpu(max_wait_s: float = 720.0) -> bool:
         time.sleep(30)
 
 
-def _run_phase_subprocess(phase: str, timeout_s: float) -> dict | None:
-    out_file = os.path.join(REPO, f".bench_{phase}.json")
+def _run_phase_subprocess(phase: str, timeout_s: float,
+                          only: str | None = None) -> dict | None:
+    tag = phase if only is None else f"{phase}_{only}"
+    out_file = os.path.join(REPO, f".bench_{tag}.json")
     if os.path.exists(out_file):
         os.remove(out_file)
     cmd = [sys.executable, os.path.abspath(__file__),
            "--phase", phase, "--out", out_file]
-    log(f"--- phase {phase} (timeout {timeout_s / 60:.0f} min) ---")
+    if only is not None:
+        cmd += ["--only", only]
+    log(f"--- phase {tag} (timeout {timeout_s / 60:.0f} min) ---")
     try:
         r = subprocess.run(cmd, timeout=timeout_s, stdout=subprocess.DEVNULL)
         if r.returncode != 0:
-            log(f"phase {phase} rc={r.returncode}")
+            log(f"phase {tag} rc={r.returncode}")
     except subprocess.TimeoutExpired:
-        log(f"phase {phase} timed out after {timeout_s:.0f}s")
+        log(f"phase {tag} timed out after {timeout_s:.0f}s")
     if os.path.exists(out_file):
         with open(out_file) as f:
             res = json.load(f)
         os.remove(out_file)
         return res
     return None
+
+
+def _run_e2e_rows() -> dict | None:
+    """Each e2e row in its OWN subprocess: a TPU RESOURCE_EXHAUSTED poisons
+    the axon client for the rest of the process (after one OOM even tiny
+    allocations fail), so in-process row isolation is not enough — a row
+    failure must not share a process with the rows after it."""
+    merged: dict = {}
+    for row, mins in (("vlm", 12), ("vlm_w8a8", 10), ("t5", 10), ("vae", 10)):
+        res = _run_phase_subprocess("e2e", timeout_s=mins * 60, only=row)
+        if res:
+            merged.update({k: v for k, v in res.items() if v is not None})
+        elif not wait_for_tpu(max_wait_s=300.0):
+            log(f"e2e row {row} failed and tunnel is down; stopping e2e rows")
+            break
+    if not merged:
+        return None
+    _compose_e2e(merged)
+    if "t_other_s" in merged:
+        log(f"e2e composed (supervisor): t_other_s={merged['t_other_s']:.3f}s")
+        _log_experiment("e2e_composed", t_other_s=round(merged["t_other_s"], 4))
+    return merged
 
 
 def _emit(payload: dict, save: bool = True, detail: dict | None = None) -> None:
@@ -248,7 +274,7 @@ def supervise() -> int:
 
     e2e = train = None
     if scan is not None:
-        e2e = _run_phase_subprocess("e2e", timeout_s=25 * 60)
+        e2e = _run_e2e_rows()
         healthy = e2e is not None or wait_for_tpu(max_wait_s=300.0)
         if healthy:
             train = _run_phase_subprocess("train", timeout_s=25 * 60)
@@ -309,43 +335,11 @@ def _int8_shape_params(jax, jnp, abstract, qkey="q", min_elems=1 << 22,
     serving loads checkpoints bf16, so an fp32 eval_shape tree (the VLM
     init has no dtype arg) would overstate HBM by ~1.2GB (the 152k-row
     embedding table alone is 2.18GB fp32 vs 1.09GB bf16)."""
-    flat, _ = jax.tree_util.tree_flatten_with_path(abstract)
-    leaves = []
-    for kp, s in flat:
-        path = "/".join(str(getattr(k, "key", k)) for k in kp)
-        if path.endswith("kernel") and len(s.shape) >= 2 and np.prod(s.shape) >= min_elems:
-            d_in, d_out = s.shape[-2], s.shape[-1]
-            if qkey == "q4" and d_in % 64 == 0:
-                leaves.append({
-                    "q4": jnp.ones(s.shape[:-2] + (d_in // 2, d_out), jnp.uint8),
-                    "scale4": jnp.full(
-                        s.shape[:-2] + (d_in // 64, 1, d_out), 0.01, jnp.float32
-                    ),
-                })
-                continue
-            k8 = "q" if qkey == "q4" else qkey
-            leaves.append({
-                k8: jnp.ones(s.shape, jnp.int8),
-                "scale": jnp.full(s.shape[:-2] + (1, s.shape[-1]), 0.01, jnp.float32),
-            })
-        else:
-            dt = s.dtype
-            if float_dtype is not None and jnp.issubdtype(s.dtype, jnp.floating):
-                dt = float_dtype
-            leaves.append(jnp.full(s.shape, 0.01, dt))
-    by_path = {
-        tuple(getattr(k, "key", getattr(k, "idx", k)) for k in kp): leaf
-        for (kp, _), leaf in zip(flat, leaves)
-    }
+    from gpt_image_edit_tpu.utils.synthetic import quantized_shape_params
 
-    def _build_tree(node, prefix=()):
-        if isinstance(node, dict):
-            return {kk: _build_tree(vv, prefix + (kk,)) for kk, vv in node.items()}
-        if isinstance(node, list):
-            return [_build_tree(vv, prefix + (i,)) for i, vv in enumerate(node)]
-        return by_path[prefix]
-
-    return _build_tree(abstract)
+    return quantized_shape_params(
+        abstract, qkey=qkey, min_elems=min_elems, float_dtype=float_dtype
+    )
 
 
 def _train_full_mlp2(jax, jnp, optax, h, s_txt, reps=3, qkey="q"):
@@ -674,7 +668,20 @@ def phase_scan() -> dict:
 # phase: e2e (the serving path around the scan)
 # --------------------------------------------------------------------------
 
-def phase_e2e() -> dict:
+def _compose_e2e(res: dict) -> None:
+    """t_other_s = sum of the components measured SO FAR (the compose is
+    only meaningful once the VLM and VAE rows exist; T5 folds in when
+    measured)."""
+    t_vlm_best = res.get("t_vlm_s")
+    if t_vlm_best is not None and res.get("t_vlm_w8a8_s"):
+        t_vlm_best = min(t_vlm_best, res["t_vlm_w8a8_s"])
+    if (t_vlm_best is not None and res.get("t_vae_enc_s") is not None
+            and res.get("t_vae_dec_s") is not None):
+        res["t_other_s"] = (t_vlm_best + (res.get("t_t5_s") or 0.0)
+                            + res["t_vae_enc_s"] + res["t_vae_dec_s"])
+
+
+def phase_e2e(only: str | None = None) -> dict:
     """Time the non-denoiser components of one edit at serving shapes
     (ref:univa/serve/cli.py:199-254): int8 7B VLM denoise_embeds forward
     (ViT 448^2 view -> LM trunk -> MLP2) and bf16 VAE encode + decode at
@@ -683,7 +690,13 @@ def phase_e2e() -> dict:
     VERDICT r3 #1 hardening: every row is individually guarded, the result
     dict (incl. the composed t_other_s over whatever components completed)
     is re-written after EVERY row, and an OOM-ed row clears compile caches
-    + collects before the next row so one failure cannot zero the phase."""
+    + collects before the next row so one failure cannot zero the phase.
+
+    `only` ("vlm" | "vlm_w8a8" | "t5" | "vae"): run a single row — the
+    supervisor uses this to give each row its OWN subprocess, because a
+    TPU RESOURCE_EXHAUSTED poisons the axon client for the remainder of
+    the process (observed: after one OOM even eval_shape constants fail),
+    while a fresh process gets a clean HBM arena."""
     jax = _child_jax()
     import gc
 
@@ -695,8 +708,6 @@ def phase_e2e() -> dict:
         denoise_projector, init as init_vlm,
     )
     from gpt_image_edit_tpu.models.qwen2p5vl.vision import vision_precompute
-    from gpt_image_edit_tpu.models.vae import VaeConfig, init_vae
-    from gpt_image_edit_tpu.models.vae import model as vae_model
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
@@ -706,16 +717,8 @@ def phase_e2e() -> dict:
                  "t_vae_enc_s": None, "t_vae_dec_s": None}
 
     def _compose() -> None:
-        """t_other_s = sum of the components measured SO FAR (the compose is
-        only meaningful once the VLM and VAE rows exist; T5 folds in when
-        measured). Written after every row so a late OOM keeps the rest."""
-        t_vlm_best = res["t_vlm_s"]
-        if t_vlm_best is not None and res["t_vlm_w8a8_s"]:
-            t_vlm_best = min(t_vlm_best, res["t_vlm_w8a8_s"])
-        if (t_vlm_best is not None and res["t_vae_enc_s"] is not None
-                and res["t_vae_dec_s"] is not None):
-            res["t_other_s"] = (t_vlm_best + (res["t_t5_s"] or 0.0)
-                                + res["t_vae_enc_s"] + res["t_vae_dec_s"])
+        # written after every row so a late OOM keeps the rest
+        _compose_e2e(res)
         _write_partial(res)
 
     def _row_failed(name: str, e: Exception) -> None:
@@ -791,22 +794,23 @@ def phase_e2e() -> dict:
         finally:
             del params  # free ~7GB HBM even on failure (more rows follow)
 
-    try:
-        t_vlm = _time_vlm("q")
-        res["t_vlm_s"] = t_vlm
-        log(f"VLM denoise_embeds fwd (seq {seq} + ViT {n_patches} patches, "
-            f"{'int8' if on_tpu else 'bf16 tiny'}): {t_vlm * 1000:.1f} ms, "
-            f"{n_img_tokens} image tokens")
-        _log_experiment("e2e_vlm", quant="int8" if on_tpu else "bf16-tiny",
-                        seq=seq, t_s=round(t_vlm, 4))
-    except Exception as e:
-        _row_failed("int8 VLM", e)
-    _compose()
+    if only in (None, "vlm"):
+        try:
+            t_vlm = _time_vlm("q")
+            res["t_vlm_s"] = t_vlm
+            log(f"VLM denoise_embeds fwd (seq {seq} + ViT {n_patches} patches, "
+                f"{'int8' if on_tpu else 'bf16 tiny'}): {t_vlm * 1000:.1f} ms, "
+                f"{n_img_tokens} image tokens")
+            _log_experiment("e2e_vlm", quant="int8" if on_tpu else "bf16-tiny",
+                            seq=seq, t_s=round(t_vlm, 4))
+        except Exception as e:
+            _row_failed("int8 VLM", e)
+        _compose()
 
     # W8A8 VLM comparison row: the prefill is one big matmul-bound forward,
     # the same shape class the FLUX W8A8 mode sped up ~25% — measure whether
     # --quantize_vlm w8a8 pays on the e2e path too
-    if on_tpu:
+    if on_tpu and only in (None, "vlm_w8a8"):
         try:
             t_w8a8 = _time_vlm("q_w8a8")
             res["t_vlm_w8a8_s"] = t_w8a8
@@ -823,6 +827,27 @@ def phase_e2e() -> dict:
     # T5-XXL encoder forward (the reference's default serving path concats
     # T5 embeds after the VLM ones, ref:univa/serve/cli.py joint_with_t5;
     # 4.7B encoder, int8 weight-only, prompt bucket 512)
+    if only in (None, "t5"):
+        _e2e_t5_row(jax, jnp, on_tpu, b, res, reps, _row_failed)
+        _compose()
+
+    if only in (None, "vae"):
+        _e2e_vae_rows(jax, jnp, on_tpu, b, res, _row_failed)
+        _compose()
+
+    if "t_other_s" in res:
+        log(f"non-scan serving components total: {res['t_other_s']:.3f}s "
+            f"(VLM {min(x for x in (res['t_vlm_s'], res['t_vlm_w8a8_s']) if x):.3f}"
+            f" + T5 {res['t_t5_s'] or 0:.3f} + VAE enc {res['t_vae_enc_s']:.3f}"
+            f" + VAE dec {res['t_vae_dec_s']:.3f})")
+        _log_experiment("e2e_composed", t_other_s=round(res["t_other_s"], 4))
+    elif only is None:
+        log("e2e compose unavailable (VLM or VAE row missing); partial rows "
+            "reported")
+    return res
+
+
+def _e2e_t5_row(jax, jnp, on_tpu, b, res, reps, _row_failed):
     tparams = None
     try:
         from gpt_image_edit_tpu.models import t5 as t5_model
@@ -858,7 +883,11 @@ def phase_e2e() -> dict:
         _row_failed("T5", e)
     finally:
         del tparams  # free the 4.7GB int8 tree before the 1024^2 VAE rows
-    _compose()
+
+
+def _e2e_vae_rows(jax, jnp, on_tpu, b, res, _row_failed):
+    from gpt_image_edit_tpu.models.vae import VaeConfig, init_vae
+    from gpt_image_edit_tpu.models.vae import model as vae_model
 
     vcfg = VaeConfig() if on_tpu else VaeConfig.tiny()
     vabs = jax.eval_shape(lambda k: init_vae(k, vcfg), jax.random.key(0))
@@ -899,23 +928,11 @@ def phase_e2e() -> dict:
                         t_enc_s=round(t_enc, 4), t_dec_s=round(t_dec, 4))
     except Exception as e:
         _row_failed("bf16 VAE", e)
-    _compose()
     if on_tpu:
         try:
             time_vae(jnp.float32)
         except Exception as e:
             log(f"fp32 VAE comparison row failed ({type(e).__name__})")
-
-    if "t_other_s" in res:
-        log(f"non-scan serving components total: {res['t_other_s']:.3f}s "
-            f"(VLM {min(x for x in (res['t_vlm_s'], res['t_vlm_w8a8_s']) if x):.3f}"
-            f" + T5 {res['t_t5_s'] or 0:.3f} + VAE enc {res['t_vae_enc_s']:.3f}"
-            f" + VAE dec {res['t_vae_dec_s']:.3f})")
-        _log_experiment("e2e_composed", t_other_s=round(res["t_other_s"], 4))
-    else:
-        log("e2e compose unavailable (VLM or VAE row missing); partial rows "
-            "reported")
-    return res
 
 
 # --------------------------------------------------------------------------
@@ -1208,6 +1225,8 @@ def phase_train() -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", choices=["scan", "e2e", "train"])
+    ap.add_argument("--only", help="e2e: run a single row "
+                    "(vlm|vlm_w8a8|t5|vae) — per-row subprocess isolation")
     ap.add_argument("--out")
     args = ap.parse_args()
 
@@ -1217,7 +1236,10 @@ def main():
     if args.out:
         global _PARTIAL_OUT
         _PARTIAL_OUT = args.out
-    res = {"scan": phase_scan, "e2e": phase_e2e, "train": phase_train}[args.phase]()
+    if args.phase == "e2e":
+        res = phase_e2e(only=args.only)
+    else:
+        res = {"scan": phase_scan, "train": phase_train}[args.phase]()
     if args.out:
         with open(args.out, "w") as f:
             json.dump(res, f)

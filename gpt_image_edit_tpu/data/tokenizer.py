@@ -48,6 +48,29 @@ class FakeTokenizer:
     def convert_tokens_to_ids(self, tok: str) -> int:
         return _SPECIAL.get(tok, zlib.crc32(tok.encode()) % 150000 + 256)
 
+    def __call__(self, texts, padding=None, max_length=None, truncation=False,
+                 return_tensors="np"):
+        """HF-tokenizer-call shim (padding/truncation to max_length) so the
+        fake tokenizer can stand in for CLIP/T5 tokenizers in synthetic
+        serving mode. Ids may exceed a small encoder vocab — JAX gathers
+        clamp out-of-range indices, which is fine for shape/perf rehearsal."""
+        import numpy as np
+
+        if isinstance(texts, str):
+            texts = [texts]
+        rows = [self.encode(t) for t in texts]
+        if truncation and max_length is not None:
+            rows = [r[:max_length] for r in rows]
+        width = max_length if padding == "max_length" and max_length else max(
+            (len(r) for r in rows), default=1
+        )
+        ids = np.full((len(rows), width), self.pad_token_id, np.int64)
+        mask = np.zeros((len(rows), width), np.int64)
+        for i, r in enumerate(rows):
+            ids[i, : len(r)] = r[:width]
+            mask[i, : len(r)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
 
 def load_tokenizer(path_or_fake: str):
     if path_or_fake in ("fake", "", None):

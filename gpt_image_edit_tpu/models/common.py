@@ -160,6 +160,60 @@ def linear_gelu(p: Params, pre: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def adaln_stacked(p: Params, silu_temb: jnp.ndarray, chunks: int) -> jnp.ndarray:
+    """All-layers adaLN modulation vectors in ONE batched matmul.
+
+    p: STACKED per-layer linear params — kernel (L, in, C) (plain, int8
+    weight-only, int4, or W8A8 dict), optional bias (L, C).
+    silu_temb: (B, in) — silu(temb), shared by every layer.
+    Returns (L, chunks, B, C//chunks): layer-major modulation chunks, ready
+    to ride a block lax.scan as `xs`.
+
+    Why: computed inside the scan body these are 1-row matvecs whose
+    (in, C) weight slice plus six (B, C/6) result vectors get staged
+    HBM<->VMEM every iteration — profiled at ~200ms of latency-bound
+    `copy-start` ops per full-depth W8A8 FLUX step (~6979 copy events).
+    Hoisted, the weights are read once in a streaming batched matmul and
+    the scan slices one small (chunks, B, d) row per block instead.
+
+    W8A8 path is bitwise-identical to per-layer `linear`: same row quant
+    (one row, same scale), exact int32 accumulation, same bf16 epilogue
+    ordering. Plain/weight-only paths may differ by XLA reduction order
+    only.
+    """
+    kernel = p["kernel"]
+    if isinstance(kernel, dict) and "q_w8a8" in kernel:
+        qx, s_x = quantize_rows(silu_temb)
+        acc = jax.lax.dot_general(
+            qx, kernel["q_w8a8"],
+            (((1,), (1,)), ((), ())),          # (B,in) x (L,in,C) -> (B,L,C)
+            preferred_element_type=jnp.int32,
+        )
+        y = (
+            acc.astype(jnp.bfloat16)
+            * s_x.astype(jnp.bfloat16)[:, :, None]         # (B,1,1)
+            * kernel["scale"][:, 0, :].astype(jnp.bfloat16)[None]  # (1,L,C)
+        ).astype(silu_temb.dtype)
+        y = y.transpose(1, 0, 2)                           # (L, B, C)
+        if "bias" in p:
+            y = y + p["bias"].astype(y.dtype)[:, None, :]
+    elif isinstance(kernel, dict):
+        # weight-only int8/int4: per-layer dequant+dot under lax.map to
+        # bound the dequant transient to one layer (full-depth stacked
+        # norm kernels are ~2GB bf16 if dequantized at once)
+        y = jax.lax.map(lambda pl: linear(pl, silu_temb), p)  # (L, B, C)
+    else:
+        y = jnp.einsum(
+            "bi,lic->lbc", silu_temb, kernel.astype(silu_temb.dtype)
+        )
+        if "bias" in p:
+            y = y + p["bias"].astype(y.dtype)[:, None, :]
+    L, B, C = y.shape
+    d = C // chunks
+    # chunk i == out[..., i*d:(i+1)*d] — matches jnp.split(axis=-1)
+    return y.reshape(L, B, chunks, d).transpose(0, 2, 1, 3)
+
+
 def linear_concat(p: Params, parts) -> jnp.ndarray:
     """`concat(parts, -1) @ kernel` with the matmul SPLIT per part when the
     kernel is W8A8.

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from gpt_image_edit_tpu.models.common import (
     Params,
+    adaln_stacked,
     linear,
     linear_concat,
     linear_gelu,
@@ -204,18 +205,17 @@ def _joint_attention(
 
 def _dual_block(
     p: Params,
+    mod: jnp.ndarray,       # (6, B, d) adaLN chunks, hoisted out of the scan
+    mod_ctx: jnp.ndarray,   # (6, B, d)
     img: jnp.ndarray,
     txt: jnp.ndarray,
-    temb: jnp.ndarray,
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     cfg: FluxConfig,
     pad_mask: Optional[jnp.ndarray],
 ):
-    sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp = _adaln(p["norm1"], temb, 6)
-    c_sh_msa, c_sc_msa, c_g_msa, c_sh_mlp, c_sc_mlp, c_g_mlp = _adaln(
-        p["norm1_context"], temb, 6
-    )
+    sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp = mod
+    c_sh_msa, c_sc_msa, c_g_msa, c_sh_mlp, c_sc_mlp, c_g_mlp = mod_ctx
 
     img_mod = modulate(layer_norm(img, eps=1e-6), sh_msa, sc_msa)
     txt_mod = modulate(layer_norm(txt, eps=1e-6), c_sh_msa, c_sc_msa)
@@ -242,8 +242,8 @@ def _dual_block(
 
 def _single_block(
     p: Params,
+    mod: jnp.ndarray,       # (3, B, d) adaLN chunks, hoisted out of the scan
     x: jnp.ndarray,
-    temb: jnp.ndarray,
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     cfg: FluxConfig,
@@ -251,7 +251,7 @@ def _single_block(
 ):
     b, s, d = x.shape
     h, hd = cfg.num_attention_heads, cfg.attention_head_dim
-    shift, scale, gate = _adaln(p["norm"], temb, 3)
+    shift, scale, gate = mod
     x_mod = modulate(layer_norm(x, eps=1e-6), shift, scale)
 
     # one shared activation quantization of x_mod across all four heads
@@ -339,16 +339,32 @@ def apply(
             "dots": jax.checkpoint_policies.dots_saveable,
         }[cfg.remat_policy]
         dual_fn = jax.checkpoint(
-            _dual_block, policy=policy, static_argnums=(6,),
+            _dual_block, policy=policy, static_argnums=(7,),
         )
         single_fn = jax.checkpoint(
             _single_block, policy=policy, static_argnums=(5,),
         )
 
+    # adaLN modulation vectors for ALL layers, hoisted out of the block
+    # scans: one batched matmul over the stacked norm kernels instead of a
+    # per-iteration 1-row matvec (whose weight slice + six tiny result
+    # vectors dominated the profiled `copy` bucket — ~40% of the W8A8 step)
+    silu_t = jax.nn.silu(temb)
+    dual_mod = adaln_stacked(params["dual_blocks"]["norm1"]["linear"], silu_t, 6)
+    dual_mod_ctx = adaln_stacked(
+        params["dual_blocks"]["norm1_context"]["linear"], silu_t, 6
+    )
+    single_mod = adaln_stacked(params["single_blocks"]["norm"]["linear"], silu_t, 3)
+    dual_xs = {
+        k: v for k, v in params["dual_blocks"].items()
+        if k not in ("norm1", "norm1_context")
+    }
+    single_xs = {k: v for k, v in params["single_blocks"].items() if k != "norm"}
+
     def dual_body(carry, xs):
         img_c, txt_c = carry
-        p, gate = xs
-        img_n, txt_n = dual_fn(p, img_c, txt_c, temb, cos, sin, cfg, pad_mask)
+        p, m, mc, gate = xs
+        img_n, txt_n = dual_fn(p, m, mc, img_c, txt_c, cos, sin, cfg, pad_mask)
         if gate is not None:
             img_n = img_c + gate * (img_n - img_c)
             txt_n = txt_c + gate * (txt_n - txt_c)
@@ -359,22 +375,24 @@ def apply(
         (img, txt), _ = jax.lax.scan(
             functools.partial(dual_body),
             (img, txt),
-            (params["dual_blocks"], dual_gate),
+            (dual_xs, dual_mod, dual_mod_ctx, dual_gate),
             unroll=cfg.scan_unroll,
         )
     else:
         # unrolled: per-layer STATIC slices of the stacked params (no
         # scan dynamic-slice copies; same pytree layout as the scan path)
         for i in range(cfg.num_layers):
-            p_i = jax.tree_util.tree_map(lambda x: x[i], params["dual_blocks"])
+            p_i = jax.tree_util.tree_map(lambda x: x[i], dual_xs)
             g_i = None if dual_gate is None else dual_gate[i]
-            (img, txt), _ = dual_body((img, txt), (p_i, g_i))
+            (img, txt), _ = dual_body(
+                (img, txt), (p_i, dual_mod[i], dual_mod_ctx[i], g_i)
+            )
 
     x = jnp.concatenate([txt, img], axis=1)
 
     def single_body(carry, xs):
-        p, gate = xs
-        x_n = single_fn(p, carry, temb, cos, sin, cfg, pad_mask)
+        p, m, gate = xs
+        x_n = single_fn(p, m, carry, cos, sin, cfg, pad_mask)
         if gate is not None:
             x_n = carry + gate * (x_n - carry)
         return x_n, None
@@ -384,14 +402,14 @@ def apply(
         x, _ = jax.lax.scan(
             single_body,
             x,
-            (params["single_blocks"], single_gate),
+            (single_xs, single_mod, single_gate),
             unroll=cfg.scan_unroll,
         )
     else:
         for i in range(cfg.num_single_layers):
-            p_i = jax.tree_util.tree_map(lambda y: y[i], params["single_blocks"])
+            p_i = jax.tree_util.tree_map(lambda y: y[i], single_xs)
             g_i = None if single_gate is None else single_gate[i]
-            x, _ = single_body(x, (p_i, g_i))
+            x, _ = single_body(x, (p_i, single_mod[i], g_i))
 
     x = x[:, s_txt:]
 

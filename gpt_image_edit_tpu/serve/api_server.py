@@ -732,6 +732,11 @@ def main(argv=None):
     p.add_argument("--model_path", type=str, default=None)
     p.add_argument("--flux_path", type=str, default=None)
     p.add_argument("--tiny", action="store_true", help="random tiny weights")
+    p.add_argument("--synthetic_full", action="store_true",
+                   help="full-SIZE shape-only weights (7B VLM + 12B FLUX + "
+                        "VAE + T5/CLIP) for hardware perf rehearsal — no "
+                        "checkpoints needed; single 16GB chip needs "
+                        "--offload (utils/synthetic.py)")
     p.add_argument("--quantize", type=str, default=None)
     p.add_argument("--quantize_vlm", nargs="?", const="int8", default=None)
     p.add_argument("--vae_dtype", type=str, default="bfloat16")
@@ -771,6 +776,7 @@ def main(argv=None):
         args.model_path,
         args.flux_path,
         tiny=args.tiny,
+        synthetic_full=args.synthetic_full,
         quantize=args.quantize,
         quantize_vlm=args.quantize_vlm or False,
         vae_dtype=args.vae_dtype,

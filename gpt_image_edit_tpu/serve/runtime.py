@@ -69,6 +69,12 @@ class UnivaRuntime:
         # (ref:app.py:37,177-178 enable_model_cpu_offload), TPU-native:
         # VLM/FLUX/VAE params park in pinned_host memory and stage into HBM
         # only for the stage that uses them — peak-HBM = one component
+        synthetic_full: bool = False,    # full-SIZE shape-only weights
+        # (no public checkpoints ship in this environment): 7B VLM + 12B
+        # FLUX + VAE + T5/CLIP built directly at serving dtypes
+        # (utils/synthetic.py) — hardware rehearsal of the quantized
+        # serving path incl. --offload staging and the load-test numbers.
+        # Single 16GB chip requires --offload (components stage in turn).
         mesh=None,                       # jax.sharding.Mesh: multi-chip
         # serving — VLM/FLUX/VAE params shard over (fsdp, tensor) via
         # parallel.sharding rules, GSPMD inserts the ICI collectives
@@ -86,7 +92,53 @@ class UnivaRuntime:
         self.history_images: List[Image.Image] = []
         # ViT view pixel budget (448^2 like ref:cli.py:33-34; tiny grids scale down)
 
-        if tiny or not model_path:
+        flux_prequantized = False
+        synthetic_loaded = synthetic_full and not model_path and not tiny
+        if synthetic_loaded:
+            from gpt_image_edit_tpu.utils.synthetic import (
+                quantized_shape_params, shape_params,
+            )
+
+            log.info("loading SYNTHETIC full-size shape-only weights "
+                     "(hardware perf rehearsal; no checkpoints in this env)")
+            self.qcfg, self.vcfg = Qwen2p5VLConfig(), VaeConfig()
+            self.fcfg = dataclasses.replace(FluxConfig(), rope_dtype="bfloat16")
+            place = self._store.placement
+            vlm_mode = quantize_vlm or "int8"  # 14GB bf16 trunk never fits
+            qabs = jax.eval_shape(
+                lambda k: init_qwen(k, self.qcfg), jax.random.key(0)
+            )
+            self.qwen_params = quantized_shape_params(
+                qabs, qkey="q_w8a8" if vlm_mode == "w8a8" else "q",
+                float_dtype=jnp.bfloat16, place=place,
+            )
+            fabs = jax.eval_shape(
+                lambda k: init_flux(k, self.fcfg, jnp.bfloat16),
+                jax.random.key(1),
+            )
+            fqkey = {"int8": "q", "int4": "q4", None: None}.get(
+                quantize, "q_w8a8"
+            )
+            if fqkey is None:
+                flux_params = shape_params(
+                    fabs, float_dtype=jnp.bfloat16, place=place
+                )
+            else:
+                flux_params = quantized_shape_params(
+                    fabs, qkey=fqkey, float_dtype=jnp.bfloat16, place=place
+                )
+                flux_prequantized = True
+            vabs = jax.eval_shape(
+                lambda k: init_vae(k, self.vcfg), jax.random.key(2)
+            )
+            vae_params = shape_params(
+                vabs,
+                float_dtype=(jnp.bfloat16 if vae_dtype == "bfloat16" else None),
+                place=place,
+            )
+            self.tokenizer = load_tokenizer("fake")
+            self.vit_pixels = 200704
+        elif tiny or not model_path:
             log.info("loading TINY random-weight models (demo mode)")
             self.qcfg = Qwen2p5VLConfig.tiny()
             self.fcfg = dataclasses.replace(
@@ -126,7 +178,9 @@ class UnivaRuntime:
 
         if vae_dtype not in ("bfloat16", "float32"):
             raise ValueError(f"vae_dtype must be bfloat16|float32, got {vae_dtype!r}")
-        if vae_dtype == "bfloat16":
+        if vae_dtype == "bfloat16" and not synthetic_loaded:  # synthetic is
+            # already built at the requested dtype (a no-op cast would still
+            # rebuild + re-park the tree)
             from gpt_image_edit_tpu.models.common import cast_floating
 
             vae_params = cast_floating(vae_params, jnp.bfloat16)
@@ -137,16 +191,17 @@ class UnivaRuntime:
             from gpt_image_edit_tpu.utils.quantize import quantize_params
 
             mode = {"int8": "weight_only", "int4": "int4"}.get(quantize, "w8a8")
-            log.info("quantizing FLUX weights (%s)", mode)
             # tiny demo kernels are all below the production min_size; lower
             # it so --quantize actually exercises the quantized path there.
             # Under --offload, park each quantized subtree as it is built
             # (place=) so the transient device footprint stays ~one kernel.
-            flux_params = quantize_params(
-                flux_params, mode=mode,
-                min_size=1024 if (tiny or not model_path) else (1 << 20),
-                place=self._store.placement,
-            )
+            if not flux_prequantized:  # synthetic trees are built quantized
+                log.info("quantizing FLUX weights (%s)", mode)
+                flux_params = quantize_params(
+                    flux_params, mode=mode,
+                    min_size=1024 if (tiny or not model_path) else (1 << 20),
+                    place=self._store.placement,
+                )
             if quantize == "w8a8-attn":
                 # EXPERIMENTAL: full int8 Pallas attention kernel. Measured
                 # SLOWER than the bf16 kernel on v5e (1174 vs 1049 ms/step
@@ -184,11 +239,12 @@ class UnivaRuntime:
                     f"quantize_vlm must be True | 'int8' | 'w8a8', "
                     f"got {quantize_vlm!r}"
                 )
-            log.info("quantizing VLM weights to int8 (%s)", vlm_mode)
-            self.qwen_params = quantize_params(
-                self.qwen_params, mode=vlm_mode, min_size=1 << 20,
-                place=self._store.placement,
-            )
+            if not synthetic_loaded:  # synthetic VLM is built quantized
+                log.info("quantizing VLM weights to int8 (%s)", vlm_mode)
+                self.qwen_params = quantize_params(
+                    self.qwen_params, mode=vlm_mode, min_size=1 << 20,
+                    place=self._store.placement,
+                )
         if unroll_blocks:
             self.fcfg = dataclasses.replace(self.fcfg, scan_blocks=False)
         elif scan_unroll > 1:
@@ -227,6 +283,15 @@ class UnivaRuntime:
         # materializes if joint_with_t5 is used.
         self.joint_with_t5 = joint_with_t5
         self.text_encoders = None
+        if synthetic_loaded:
+            from gpt_image_edit_tpu.utils.prompt_embeds import FluxTextEncoders
+
+            self.text_encoders = FluxTextEncoders(
+                "<synthetic>",
+                offload_store=self._store if self.offload else None,
+                synthetic=True,
+            )
+            log.info("synthetic FLUX text encoders (T5-XXL + CLIP-L shapes)")
         enc_dir = flux_path or model_path
         if enc_dir and not tiny:
             import os

@@ -21,31 +21,53 @@ class FluxTextEncoders:
     empty-prompt conditioning, ref:train_denoiser.py:795-805) never
     materializes the ~19GB T5-XXL encoder."""
 
-    def __init__(self, flux_ckpt_dir: str, offload_store=None):
+    def __init__(self, flux_ckpt_dir: str, offload_store=None,
+                 synthetic: bool = False):
         """`offload_store`: optional utils.offload.ComponentStore — when
         given, loaded encoder params are parked in pinned_host memory and
         staged into HBM per encode call (the T5-XXL encoder is ~9.4GB bf16;
         leaving it HBM-resident would defeat --offload's
-        peak-HBM-=-one-component guarantee)."""
+        peak-HBM-=-one-component guarantee).
+
+        `synthetic`: shape-only bf16 weights + the fake hash tokenizer —
+        full-size serving-path perf rehearsal without checkpoints (no public
+        weights ship in this environment; see utils/synthetic.py)."""
         self._dir = flux_ckpt_dir
         self.clip_cfg = clip_mod.ClipTextConfig()
         self.t5_cfg = t5_mod.T5Config()
         self._clip = None  # (tokenizer, params)
         self._t5 = None
         self._store = offload_store
+        self._synthetic = synthetic
+
+    def _synthetic_pair(self, init_fn, cfg):
+        import jax
+
+        from gpt_image_edit_tpu.data.tokenizer import FakeTokenizer
+        from gpt_image_edit_tpu.utils.synthetic import shape_params
+
+        abstract = jax.eval_shape(lambda k: init_fn(k, cfg), jax.random.key(0))
+        params = shape_params(
+            abstract, float_dtype=jnp.bfloat16,
+            place=(self._store.placement if self._store else None),
+        )
+        return FakeTokenizer(), params
 
     @property
     def clip(self):
         if self._clip is None:
-            from transformers import AutoTokenizer
+            if self._synthetic:
+                tok, params = self._synthetic_pair(clip_mod.init, self.clip_cfg)
+            else:
+                from transformers import AutoTokenizer
 
-            from gpt_image_edit_tpu.utils.ckpt_convert import TensorSource
+                from gpt_image_edit_tpu.utils.ckpt_convert import TensorSource
 
-            tok = AutoTokenizer.from_pretrained(f"{self._dir}/tokenizer")
-            params = clip_mod.convert_clip(
-                TensorSource.from_dir(f"{self._dir}/text_encoder"), self.clip_cfg,
-                placement=(self._store.placement if self._store else None),
-            )
+                tok = AutoTokenizer.from_pretrained(f"{self._dir}/tokenizer")
+                params = clip_mod.convert_clip(
+                    TensorSource.from_dir(f"{self._dir}/text_encoder"), self.clip_cfg,
+                    placement=(self._store.placement if self._store else None),
+                )
             if self._store is not None:
                 params = self._store.add("clip", params)
             self._clip = (tok, params)
@@ -54,15 +76,18 @@ class FluxTextEncoders:
     @property
     def t5(self):
         if self._t5 is None:
-            from transformers import AutoTokenizer
+            if self._synthetic:
+                tok, params = self._synthetic_pair(t5_mod.init, self.t5_cfg)
+            else:
+                from transformers import AutoTokenizer
 
-            from gpt_image_edit_tpu.utils.ckpt_convert import TensorSource
+                from gpt_image_edit_tpu.utils.ckpt_convert import TensorSource
 
-            tok = AutoTokenizer.from_pretrained(f"{self._dir}/tokenizer_2")
-            params = t5_mod.convert_t5(
-                TensorSource.from_dir(f"{self._dir}/text_encoder_2"), self.t5_cfg,
-                placement=(self._store.placement if self._store else None),
-            )
+                tok = AutoTokenizer.from_pretrained(f"{self._dir}/tokenizer_2")
+                params = t5_mod.convert_t5(
+                    TensorSource.from_dir(f"{self._dir}/text_encoder_2"), self.t5_cfg,
+                    placement=(self._store.placement if self._store else None),
+                )
             if self._store is not None:
                 params = self._store.add("t5", params)
             self._t5 = (tok, params)

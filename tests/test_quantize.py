@@ -495,3 +495,73 @@ class TestQuantizedVisionTowerQwen2VL:
         assert out.shape == ref.shape and np.isfinite(out).all()
         rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
         assert rel < 0.25, rel
+
+
+class TestSyntheticTrees:
+    """utils/synthetic.py: shape-only serving trees (bench + --synthetic_full)."""
+
+    def _abstract(self):
+        tree = {
+            "big": {"kernel": jnp.zeros((128, 8192 // 64), jnp.float32),
+                    "bias": jnp.zeros((128,), jnp.float32)},
+            "odd": {"kernel": jnp.zeros((30, 8192), jnp.float32)},  # in %64 != 0
+            "small": {"kernel": jnp.zeros((4, 4), jnp.float32)},
+            "ids": jnp.zeros((7,), jnp.int32),
+        }
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree
+        )
+
+    def test_quantized_int8(self):
+        from gpt_image_edit_tpu.utils.synthetic import quantized_shape_params
+
+        t = quantized_shape_params(self._abstract(), qkey="q", min_elems=1 << 10,
+                                   float_dtype=jnp.bfloat16)
+        assert set(t["big"]["kernel"]) == {"q", "scale"}
+        assert t["big"]["kernel"]["q"].dtype == jnp.int8
+        assert t["big"]["kernel"]["scale"].shape == (1, 128)
+        assert t["big"]["bias"].dtype == jnp.bfloat16  # float_dtype applied
+        assert t["small"]["kernel"].dtype == jnp.bfloat16  # below min_elems
+        assert t["ids"].dtype == jnp.int32  # non-float untouched
+
+    def test_quantized_int4_degrades_odd_in(self):
+        from gpt_image_edit_tpu.utils.synthetic import quantized_shape_params
+
+        t = quantized_shape_params(self._abstract(), qkey="q4",
+                                   min_elems=1 << 10)
+        assert set(t["big"]["kernel"]) == {"q4", "scale4"}
+        assert t["big"]["kernel"]["q4"].shape == (64, 128)
+        assert t["big"]["kernel"]["scale4"].shape == (2, 1, 128)
+        # in_features 30 %64 != 0 -> int8 like quantize_params does
+        assert set(t["odd"]["kernel"]) == {"q", "scale"}
+
+    def test_linear_consumes_synthetic(self):
+        from gpt_image_edit_tpu.utils.synthetic import quantized_shape_params
+
+        t = quantized_shape_params(self._abstract(), qkey="q_w8a8",
+                                   min_elems=1 << 10)
+        x = jnp.ones((2, 128), jnp.bfloat16)
+        y = linear(t["big"], x)
+        assert y.shape == (2, 128) and bool(jnp.isfinite(y).all())
+
+    def test_shape_params_dtypes(self):
+        from gpt_image_edit_tpu.utils.synthetic import shape_params
+
+        t = shape_params(self._abstract(), float_dtype=jnp.bfloat16)
+        assert t["big"]["kernel"].dtype == jnp.bfloat16
+        assert t["ids"].dtype == jnp.int32
+
+
+class TestFakeTokenizerCall:
+    def test_hf_call_shim(self):
+        from gpt_image_edit_tpu.data.tokenizer import FakeTokenizer
+
+        tok = FakeTokenizer()
+        out = tok(["hello world", "one"], padding="max_length", max_length=8,
+                  truncation=True, return_tensors="np")
+        assert out["input_ids"].shape == (2, 8)
+        assert out["attention_mask"].sum(axis=1).tolist() == [2, 1]
+        long = tok(["a b c d e f g h i j"], padding="max_length",
+                   max_length=4, truncation=True)
+        assert long["input_ids"].shape == (1, 4)
+        assert long["attention_mask"].sum() == 4
