@@ -193,9 +193,11 @@ def _joint_attention(
     k = jnp.concatenate([k_t, k_i], axis=1)
     v = jnp.concatenate([v_t, v_i], axis=1)
 
-    # rope over heads: cos/sin are (S_total, hd)
-    q = apply_rope_paired(q.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
-    k = apply_rope_paired(k.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
+    # rope directly in BSHD: (S, 1, hd) tables broadcast over the head axis
+    # — bitwise-identical to rotating in BHSD, without the two 53MB layout
+    # round-trips per tensor per block the transposes cost at serving width
+    q = apply_rope_paired(q, cos[:, None, :], sin[:, None, :])
+    k = apply_rope_paired(k, cos[:, None, :], sin[:, None, :])
 
     out = dot_product_attention(q, k, v, pad_mask=pad_mask, impl=cfg.attention_impl)
     out = out.reshape(b, s_txt + s_img, d)
@@ -266,8 +268,9 @@ def _single_block(
     q = _qk_norm_heads(heads(lq), p["attn"]["norm_q"])
     k = _qk_norm_heads(heads(lk), p["attn"]["norm_k"])
     v = heads(lv)
-    q = apply_rope_paired(q.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
-    k = apply_rope_paired(k.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
+    # BSHD rope (see _joint_attention): same rotation, no layout round-trip
+    q = apply_rope_paired(q, cos[:, None, :], sin[:, None, :])
+    k = apply_rope_paired(k, cos[:, None, :], sin[:, None, :])
     attn = dot_product_attention(
         q, k, v, pad_mask=pad_mask, impl=cfg.attention_impl
     ).reshape(b, s, d)

@@ -70,8 +70,10 @@ def _layer(p: Params, x, cos, sin, pad_mask, cfg: TextConfig):
     q = q.reshape(b, s, h, hd)
     k = k.reshape(b, s, hk, hd)
     v = v.reshape(b, s, hk, hd)
-    q = apply_rope_halves(q.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
-    k = apply_rope_halves(k.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
+    # BSHD rope: (B, S, 1, D) tables broadcast over the head axis — same
+    # rotation, no BHSD layout round-trip (ops/rope.py)
+    q = apply_rope_halves(q, cos[:, :, None, :], sin[:, :, None, :])
+    k = apply_rope_halves(k, cos[:, :, None, :], sin[:, :, None, :])
     attn = dot_product_attention(q, k, v, causal=True, pad_mask=pad_mask)
     x = x + linear(p["attn"]["o"], attn.reshape(b, s, h * hd))
     xn = rms_norm(x, p["post_ln"]["scale"], cfg.rms_eps)
@@ -128,8 +130,10 @@ def _layer_with_cache(p: Params, x, cos, sin, cache_k, cache_v, pad_mask, cfg: T
     q = q.reshape(b, s, h, hd)
     k = k.reshape(b, s, hk, hd)
     v = v.reshape(b, s, hk, hd)
-    q = apply_rope_halves(q.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
-    k = apply_rope_halves(k.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
+    # BSHD rope: (B, S, 1, D) tables broadcast over the head axis — same
+    # rotation, no BHSD layout round-trip (ops/rope.py)
+    q = apply_rope_halves(q, cos[:, :, None, :], sin[:, :, None, :])
+    k = apply_rope_halves(k, cos[:, :, None, :], sin[:, :, None, :])
     return q, k, v
 
 

@@ -48,7 +48,9 @@ def flux_rope_freqs(
 
 
 def apply_rope_paired(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """Rotate adjacent feature pairs. x: (..., S, D); cos/sin: (S, D).
+    """Rotate adjacent feature pairs. x: (..., S, D); cos/sin: (S, D), or any
+    shape that broadcasts against x — e.g. (S, 1, D) tables rotate a BSHD
+    tensor in place, skipping the BHSD layout round-trip (FLUX serving path).
 
     Computes in the cos/sin dtype: f32 tables give the reference-faithful
     fp32 rotation (diffusers apply_rotary_emb); passing bf16 tables keeps
@@ -100,6 +102,8 @@ def mrope_freqs(
 
 def apply_rope_halves(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
     """HF-convention rotation. x: (B, H, S, D); cos/sin: (B, S, D) or (S, D).
+    4-D cos/sin are used as-is — pass (B, S, 1, D) to rotate a BSHD tensor
+    in place without the BHSD layout round-trip (identical values).
 
     Rotation runs in the table dtype — HF Qwen itself casts cos/sin to the
     activation dtype (bf16 for bf16 models), so bf16 tables match HF."""
@@ -108,6 +112,8 @@ def apply_rope_halves(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp
     if cos.ndim == 2:
         c = cos[None, None, :, :]
         s = sin[None, None, :, :]
+    elif cos.ndim == 4:
+        c, s = cos, sin
     else:
         c = cos[:, None, :, :]
         s = sin[:, None, :, :]
