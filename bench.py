@@ -67,6 +67,10 @@ def _log_experiment(kind: str, **fields) -> None:
 _PARTIAL_OUT: str | None = None
 
 
+class _SkipRow(Exception):
+    """Row not selected by --only (per-row subprocess isolation)."""
+
+
 def _write_partial(res: dict) -> None:
     if _PARTIAL_OUT:
         tmp = _PARTIAL_OUT + ".tmp"
@@ -151,6 +155,31 @@ def _run_phase_subprocess(phase: str, timeout_s: float,
         os.remove(out_file)
         return res
     return None
+
+
+def _run_train_rows() -> dict | None:
+    """Each train row group in its own subprocess (same OOM-poisoning
+    rationale as _run_e2e_rows; round-4 evidence: one dots-row OOM killed
+    every full_mlp2 row sharing its process). The 1024^2 int4 row only runs
+    if the 512^2 one fit; int8@512 only if int4@512 did (it is strictly
+    bigger)."""
+    merged: dict = {}
+    rows = [("ladder", 18), ("dots", 10), ("full_int4_512", 12)]
+    for row, mins in rows:
+        res = _run_phase_subprocess("train", timeout_s=mins * 60, only=row)
+        if res:
+            merged.update(res)
+        elif not wait_for_tpu(max_wait_s=300.0):
+            log(f"train row {row} failed and tunnel is down; stopping")
+            return merged or None
+    if "train_full_mlp2_ms_int4_512sq" in merged:
+        for row, mins in (("full_int4_1024", 15), ("full_int8_512", 12)):
+            res = _run_phase_subprocess("train", timeout_s=mins * 60, only=row)
+            if res:
+                merged.update(res)
+            elif not wait_for_tpu(max_wait_s=300.0):
+                break
+    return merged or None
 
 
 def _run_e2e_rows() -> dict | None:
@@ -277,7 +306,7 @@ def supervise() -> int:
         e2e = _run_e2e_rows()
         healthy = e2e is not None or wait_for_tpu(max_wait_s=300.0)
         if healthy:
-            train = _run_phase_subprocess("train", timeout_s=25 * 60)
+            train = _run_train_rows()
         else:
             log("skipping train phase: tunnel still down after e2e failure")
 
@@ -786,11 +815,15 @@ def phase_e2e(only: str | None = None) -> dict:
             _sync(jnp, out)
             o = chain(params, pixels, x_emb, out)
             _sync(jnp, o)  # compile chain
-            t0 = time.perf_counter()
+            # per-rep sync + min-of-reps: a transient tunnel stall inflates
+            # one rep, not the row (same hardening as the scan phase)
+            best = float("inf")
             for _ in range(reps):
+                t0 = time.perf_counter()
                 o = chain(params, pixels, x_emb, o)
-            _sync(jnp, o)
-            return (time.perf_counter() - t0) / reps
+                _sync(jnp, o)
+                best = min(best, time.perf_counter() - t0)
+            return best
         finally:
             del params  # free ~7GB HBM even on failure (more rows follow)
 
@@ -868,13 +901,14 @@ def _e2e_t5_row(jax, jnp, on_tpu, b, res, reps, _row_failed):
         t5_fwd = jax.jit(lambda p, i: t5_model.apply(p, tcfg, i))
         o = t5_fwd(tparams, ids)
         _sync(jnp, o)
-        t0 = time.perf_counter()
+        t_t5 = float("inf")  # per-rep sync + min (stall-robust)
         for _ in range(reps):
             ids = (ids + jnp.mean(o.astype(jnp.float32)).astype(jnp.int32)
                    * 0)  # data-depend reps (axon: block_until_ready no-op)
+            t0 = time.perf_counter()
             o = t5_fwd(tparams, ids)
-        _sync(jnp, o)
-        t_t5 = (time.perf_counter() - t0) / reps
+            _sync(jnp, o)
+            t_t5 = min(t_t5, time.perf_counter() - t0)
         res["t_t5_s"] = t_t5
         log(f"T5-XXL encode (seq {t5_seq}, "
             f"{'int8' if on_tpu else 'tiny'}): {t_t5 * 1000:.1f} ms")
@@ -901,20 +935,22 @@ def _e2e_vae_rows(jax, jnp, on_tpu, b, res, _row_failed):
         enc = jax.jit(lambda p, x: vae_model.encode_to_scaled_latents(p, vcfg, x))
         z = enc(vparams, img)
         _sync(jnp, z)
-        t0 = time.perf_counter()
+        t_enc = float("inf")  # per-rep sync + min (stall-robust)
         for _ in range(3):
-            z = enc(vparams, img + _sync(jnp, z) * 0.0)
-        _sync(jnp, z)
-        t_enc = (time.perf_counter() - t0) / 3
+            t0 = time.perf_counter()
+            z = enc(vparams, img)
+            _sync(jnp, z)
+            t_enc = min(t_enc, time.perf_counter() - t0)
 
         dec = jax.jit(lambda p, z: vae_model.decode_from_scaled_latents(p, vcfg, z))
         y = dec(vparams, z)
         _sync(jnp, y)
-        t0 = time.perf_counter()
+        t_dec = float("inf")
         for _ in range(3):
-            y = dec(vparams, z + _sync(jnp, y) * 0.0)
-        _sync(jnp, y)
-        t_dec = (time.perf_counter() - t0) / 3
+            t0 = time.perf_counter()
+            y = dec(vparams, z)
+            _sync(jnp, y)
+            t_dec = min(t_dec, time.perf_counter() - t0)
         log(f"VAE {jnp.dtype(dtype).name} {hw}x{hw}: encode {t_enc * 1000:.1f} ms, "
             f"decode {t_dec * 1000:.1f} ms")
         return t_enc, t_dec
@@ -939,12 +975,18 @@ def _e2e_vae_rows(jax, jnp, on_tpu, b, res, _row_failed):
 # phase: train
 # --------------------------------------------------------------------------
 
-def phase_train() -> dict:
+def phase_train(only: str | None = None) -> dict:
     """Measured fwd+bwd(+AdamW) train-step times at full FLUX width, 1024^2
     bs=1, remat. A true (19,38) bf16 train step cannot fit one 16GB chip
     (24GB of bf16 params alone); the full-depth number is grounded by a
     TWO-DEPTH measured fit of the fwd+bwd cost (fwd+bwd only fits (4,8))
-    plus the measured optimizer-update cost scaled linearly in params."""
+    plus the measured optimizer-update cost scaled linearly in params.
+
+    `only` ("ladder" | "dots" | "full_int4_512" | "full_int4_1024" |
+    "full_int8_512"): run one row group — the supervisor gives each its own
+    subprocess because one RESOURCE_EXHAUSTED poisons the axon client for
+    the rest of the process (round-4 evidence: the dots-row OOM took every
+    full_mlp2 row down with it despite clear_caches+gc)."""
     jax = _child_jax()
     import jax.numpy as jnp
     import optax
@@ -1003,7 +1045,9 @@ def phase_train() -> dict:
     # (2,5) is the fallback second point ---
     fb_rows = []
     fb_depths = [(2, 4), (2, 6), (2, 5)] if on_tpu else [(1, 2), (2, 3)]
-    for nd, ns in fb_depths:
+    reps = 3
+    run_ladder = only in (None, "ladder")
+    for nd, ns in fb_depths if run_ladder else []:
         if len(fb_rows) >= 2:
             break
         params = grads = None
@@ -1052,6 +1096,8 @@ def phase_train() -> dict:
     # guarded: a failure here (e.g. OOM after a poisoned row) must still
     # return the measured fwd+bwd rows instead of crashing the phase
     try:
+        if not run_ladder:
+            raise _SkipRow
         nd, ns = fb_depths[0]
         cfg, params = build(nd, ns)
         loss_fn = make_loss(cfg)
@@ -1068,11 +1114,13 @@ def phase_train() -> dict:
         params, opt, loss = train_step(params, opt, latents)
         float(loss)
         t0 = time.perf_counter()
-        reps = 3
         for _ in range(reps):
             params, opt, loss = train_step(params, opt, latents)
         float(loss)
         dt_step = (time.perf_counter() - t0) / reps
+    except _SkipRow:
+        dt_step = None
+        params = opt = None
     except Exception as e:
         log(f"full train-step row failed ({type(e).__name__}): {str(e)[:200]}")
         jax.clear_caches()
@@ -1106,19 +1154,26 @@ def phase_train() -> dict:
         _write_partial(res)
 
     # remat_policy="dots" comparison: saves matmul outputs so the bwd
-    # recompute is elementwise-only (spends spare HBM on MFU)
+    # recompute is elementwise-only (spends spare HBM on MFU); self-contained
+    # so the supervisor can run it in its own subprocess (--only dots)
     dt_dots = None
-    if on_tpu and dt_step is not None:
+    if on_tpu and (dt_step is not None or only == "dots"):
         try:
-            del params, opt
-            cfg_d, params_d = build(nd, ns, remat_policy="dots")
+            if dt_step is not None:
+                del params, opt
+            nd_d, ns_d = fb_depths[0]
+            cfg_d, params_d = build(nd_d, ns_d, remat_policy="dots")
             loss_d = make_loss(cfg_d)
-            opt_d = tx.init(params_d)
+            n_params_d = sum(
+                x.size for x in jax.tree_util.tree_leaves(params_d)
+            )
+            tx_d = optax.adamw(1e-6)
+            opt_d = tx_d.init(params_d)
 
             @jax.jit
             def train_step_d(p, opt, lat):
                 loss, grads = jax.value_and_grad(loss_d)(p, lat)
-                updates, opt = tx.update(grads, opt, p)
+                updates, opt = tx_d.update(grads, opt, p)
                 return optax.apply_updates(p, updates), opt, loss
 
             params_d, opt_d, loss = train_step_d(params_d, opt_d, latents)
@@ -1128,12 +1183,12 @@ def phase_train() -> dict:
                 params_d, opt_d, loss = train_step_d(params_d, opt_d, latents)
             float(loss)
             dt_dots = (time.perf_counter() - t0) / reps
-            mfu3_d = 3 * 2 * n_params * tokens * b / dt_dots / 197e12
-            log(f"train step depth ({nd},{ns}) remat_policy=dots: "
+            mfu3_d = 3 * 2 * n_params_d * tokens * b / dt_dots / 197e12
+            log(f"train step depth ({nd_d},{ns_d}) remat_policy=dots: "
                 f"{dt_dots * 1000:.1f} ms, MFU {mfu3_d:.3f} (3x)")
             del params_d, opt_d
             res["train_step_ms_dots_policy"] = round(dt_dots * 1000, 1)
-            _log_experiment("train_step_dots", nd=nd, ns=ns,
+            _log_experiment("train_step_dots", nd=nd_d, ns=ns_d,
                             t_s=round(dt_dots, 4), mfu_3x=round(mfu3_d, 3))
             _write_partial(res)
         except Exception as e:
@@ -1176,7 +1231,14 @@ def phase_train() -> dict:
     # and 512^2 in round 3; the int4 tree (5.9GB) is the fit-on-16GB ladder.
     if on_tpu:
         full_tokens = None
-        for hh, qk in ((64, "q4"), (128, "q4"), (64, "q")):
+        mlp2_rows = [(64, "q4"), (128, "q4"), (64, "q")]
+        if only is not None:
+            mlp2_rows = {
+                "full_int4_512": [(64, "q4")],
+                "full_int4_1024": [(128, "q4")],
+                "full_int8_512": [(64, "q")],
+            }.get(only, [])
+        for hh, qk in mlp2_rows:
             label = {"q": "int8", "q4": "int4"}[qk]
             try:
                 t_full_mlp2 = _train_full_mlp2(jax, jnp, optax, hh, s_txt,
@@ -1225,8 +1287,9 @@ def phase_train() -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", choices=["scan", "e2e", "train"])
-    ap.add_argument("--only", help="e2e: run a single row "
-                    "(vlm|vlm_w8a8|t5|vae) — per-row subprocess isolation")
+    ap.add_argument("--only", help="e2e: vlm|vlm_w8a8|t5|vae; train: "
+                    "ladder|dots|full_int4_512|full_int4_1024|full_int8_512 "
+                    "— per-row subprocess isolation")
     ap.add_argument("--out")
     args = ap.parse_args()
 
@@ -1238,8 +1301,10 @@ def main():
         _PARTIAL_OUT = args.out
     if args.phase == "e2e":
         res = phase_e2e(only=args.only)
+    elif args.phase == "train":
+        res = phase_train(only=args.only)
     else:
-        res = {"scan": phase_scan, "train": phase_train}[args.phase]()
+        res = phase_scan()
     if args.out:
         with open(args.out, "w") as f:
             json.dump(res, f)
