@@ -156,23 +156,101 @@ def profile_vlm():
     _report(parse_xplane(logdir), f"vlm/{quant}")
 
 
+def _profile_named(name, fwd, *args, reps=4):
+    """Shared warmup + timed reps + xplane report for the aux components."""
+    import jax
+    import jax.numpy as jnp
+
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    t0 = time.time()
+    o = fwd(*args)
+    sync(o)
+    print(f"[{name}] compile+run: {time.time() - t0:.1f}s", flush=True)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        o = fwd(*args)
+        sync(o)
+        best = min(best, time.perf_counter() - t0)
+    print(f"[{name}] fwd: {best * 1000:.1f} ms (min of {reps})", flush=True)
+    logdir = tempfile.mkdtemp(prefix=f"prof_{name}_")
+    with jax.profiler.trace(logdir):
+        o = fwd(*args)
+        sync(o)
+    _report(parse_xplane(logdir), name)
+
+
+def profile_t5():
+    """int8 T5-XXL encode at the serving bucket — the e2e row measured
+    1.52s on-chip where roofline says ~0.1s; find the pathological op."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpt_image_edit_tpu.models import t5 as t5_model
+    from gpt_image_edit_tpu.utils.synthetic import quantized_shape_params
+
+    quant = "--bf16" not in sys.argv
+    cfg = t5_model.T5Config()
+    abstract = jax.eval_shape(lambda k: t5_model.init(k, cfg), jax.random.key(0))
+    if quant:
+        params = quantized_shape_params(
+            abstract, qkey="q", min_elems=1 << 20, float_dtype=jnp.bfloat16
+        )
+    else:
+        from gpt_image_edit_tpu.utils.synthetic import shape_params
+
+        params = shape_params(abstract, float_dtype=jnp.bfloat16)
+    ids = jnp.zeros((1, 512), jnp.int32)
+    fwd = jax.jit(lambda p, i: t5_model.apply(p, cfg, i))
+    _profile_named("t5" + ("_int8" if quant else "_bf16"), fwd, params, ids)
+
+
+def profile_vae():
+    """bf16 VAE encode/decode at 1024^2 — the e2e rows measured 0.28-3.6s
+    where conv roofline says ~0.02s; find where the time goes."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpt_image_edit_tpu.models.vae import VaeConfig, init_vae
+    from gpt_image_edit_tpu.models.vae import model as vae_model
+    from gpt_image_edit_tpu.utils.synthetic import shape_params
+
+    dt = jnp.float32 if "--f32" in sys.argv else jnp.bfloat16
+    vcfg = VaeConfig()
+    vabs = jax.eval_shape(lambda k: init_vae(k, vcfg), jax.random.key(0))
+    vparams = shape_params(vabs, float_dtype=dt)
+    img = jnp.full((1, 1024, 1024, 3), 0.1, dt)
+    enc = jax.jit(lambda p, x: vae_model.encode_to_scaled_latents(p, vcfg, x))
+    _profile_named(f"vae_enc_{jnp.dtype(dt).name}", enc, vparams, img)
+    z = enc(vparams, img)
+    dec = jax.jit(lambda p, z: vae_model.decode_from_scaled_latents(p, vcfg, z))
+    _profile_named(f"vae_dec_{jnp.dtype(dt).name}", dec, vparams, z)
+
+
 def main():
     from gpt_image_edit_tpu.utils.platform import apply_platform_env
     apply_platform_env()  # honor JAX_PLATFORMS before first jax use
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     mode = sys.argv[1] if len(sys.argv) > 1 else "w8a8"
     if mode == "vlm":
         return profile_vlm()
+    if mode == "t5":
+        return profile_t5()
+    if mode == "vae":
+        return profile_vae()
     nd, ns = 19, 38
     if "--depth" in sys.argv:
         i = sys.argv.index("--depth")
         nd, ns = int(sys.argv[i + 1]), int(sys.argv[i + 2])
 
-    import jax
     import jax.numpy as jnp
-
-    cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     from gpt_image_edit_tpu.models.flux import FluxConfig, apply_flux, init_flux
     from gpt_image_edit_tpu.ops.packing import latent_image_ids
