@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=28)
     p.add_argument("--image", type=str, default=None,
                    help="optional conditioning image (same for all requests)")
+    p.add_argument("--height", type=int, default=None,
+                   help="output height (pin the serving shape explicitly so "
+                        "the run hits the --warmup'd program)")
+    p.add_argument("--width", type=int, default=None)
     p.add_argument("--timeout", type=float, default=1800.0)
     args = p.parse_args(argv)
 
@@ -57,8 +61,13 @@ def main(argv=None) -> int:
                 return
             t0 = time.perf_counter()
             try:
+                kw = {}
+                if args.height is not None:
+                    kw["height"] = args.height
+                if args.width is not None:
+                    kw["width"] = args.width
                 client.edit(f"load test request {i}", images,
-                            steps=args.steps, seed=i)
+                            steps=args.steps, seed=i, **kw)
                 dt = time.perf_counter() - t0
                 with lock:
                     latencies.append(dt)
