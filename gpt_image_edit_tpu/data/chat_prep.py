@@ -63,9 +63,13 @@ def prepare_chat_inputs(
     assert "<image>" not in prompt, "more <image> placeholders than images"
 
     ids = tokenizer.encode(prompt)
-    # left-pad to a 64-multiple: bounds jit recompiles across prompt
-    # lengths (prefill/decode/denoise graphs key on the static length)
-    pad_to = ((len(ids) + 63) // 64) * 64
+    # left-pad to a 128-multiple: bounds jit recompiles across prompt
+    # lengths (prefill/decode/denoise graphs key on the static length) AND
+    # keeps the prefill on the Pallas flash path — Mosaic needs the kernel's
+    # kv-segment lane slices at multiples of 128, so a 64-mult bucket like
+    # 320 silently costs the kernel (and before the alignment guard, failed
+    # the remote compile outright on-chip)
+    pad_to = ((len(ids) + 127) // 128) * 128
     pad_id = getattr(tokenizer, "pad_token_id", 151643) or 151643
     input_ids = np.full((1, pad_to), pad_id, dtype=np.int64)
     attn = np.zeros((1, pad_to), dtype=np.int64)

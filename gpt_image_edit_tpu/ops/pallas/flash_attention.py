@@ -861,8 +861,14 @@ def flash_attention(
         scale = d ** -0.5
     block_q = min(block_q, sq)
     block_kv = min(block_kv, skv)
-    if sq % block_q != 0 or skv % block_kv != 0:
-        # Fall back for ragged shapes; bucketing should normally prevent this.
+    if (sq % block_q != 0 or skv % block_kv != 0
+            # Mosaic lane alignment: the segment/bias rows are sliced on
+            # their LAST axis at i*block offsets, which must be statically
+            # provable multiples of 128 (observed on-chip: a seq-320 VLM
+            # prefill -> block_kv=320 -> remote compile HTTP 500)
+            or block_q % 128 != 0 or block_kv % 128 != 0):
+        # Fall back for ragged/unaligned shapes; bucketing normally
+        # prevents this (data/chat_prep pads prompts to 128-multiples).
         return _xla_reference(
             q, k, v,
             q_segment_ids if q_segment_ids is not None else jnp.zeros((b, sq), jnp.int32),
@@ -941,6 +947,13 @@ def flash_attention_lse(
     assert sq % block_q == 0 and skv % block_kv == 0, (
         f"flash_attention_lse needs block-aligned shapes, got "
         f"sq={sq}%{block_q}, skv={skv}%{block_kv}"
+    )
+    # Mosaic slices the segment rows on the LANE axis at i*block offsets,
+    # which must be statically provable 128-multiples; the interpreter has
+    # no such constraint (CPU tests cover odd shapes there)
+    assert interpret or (block_q % 128 == 0 and block_kv % 128 == 0), (
+        f"flash_attention_lse on TPU needs 128-aligned blocks, got "
+        f"block_q={block_q}, block_kv={block_kv}"
     )
     if q_segment_ids is None:
         q_seg = jnp.zeros((b, sq), jnp.int32)

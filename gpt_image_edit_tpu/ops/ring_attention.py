@@ -123,7 +123,14 @@ def ring_attention(
     # flash_attention_lse's docstring for the exact merge.
     assert hop_impl in ("jnp", "flash", "auto"), hop_impl
     bq_flash = _flash_block_q(sq)
-    flash_ok = (not causal) and bq_flash > 0
+    # Real Mosaic additionally needs 128-aligned blocks (the kernel slices
+    # segment rows on the lane axis at i*block offsets); the interpreter
+    # covers odd shapes in CPU tests. A CP shard length like 8704/8 = 1088
+    # has no 128-multiple divisor -> jnp hops on TPU.
+    mosaic_aligned = bq_flash % 128 == 0 and block % 128 == 0
+    flash_ok = (not causal) and bq_flash > 0 and (
+        _flash_interpret or mosaic_aligned
+    )
     if hop_impl == "auto":
         use_flash = flash_ok and (
             _flash_interpret or jax.default_backend() == "tpu"
