@@ -323,6 +323,22 @@ class UnivaRuntime:
         if evict is not None:
             evict()
 
+    def _offload_text_boundary(self, embeds) -> None:
+        """offload: the int8 VLM (~8.3GB incl. its bf16 embed table) plus
+        the int8 T5-XXL (~5GB) exceed one 16GB chip once ViT/prefill
+        workspace is added (observed RESOURCE_EXHAUSTED in --synthetic_full
+        serving warmup at 1024^2) — barrier on the prefill outputs and free
+        the VLM HBM copy BEFORE _text_cond stages T5, so the text stage is
+        itself two sequential sub-stages. Evicts only the VLM (not the text
+        encoders: _neg_cond re-enters with T5 already staged and would pay a
+        pointless re-stage). No-op when offload is off."""
+        if not self.offload:
+            return
+        from gpt_image_edit_tpu.utils.offload import sync as _sync
+
+        _sync(embeds)
+        self._store.evict("vlm")
+
     # ------------------------------------------------------------------
     def _prepare_inputs(
         self,
@@ -368,6 +384,7 @@ class UnivaRuntime:
         neg_convo = [{"from": "user", "value": negative_prompt}]
         neg_embeds, neg_kwargs = self._encode_prompt(neg_convo, [])
         neg_txt_pad_mask = neg_kwargs["attention_mask"]
+        self._offload_text_boundary(neg_embeds)
         neg_t5, neg_pooled = self._text_cond(negative_prompt)
         if neg_t5 is not None:
             neg_embeds = jnp.concatenate(
@@ -435,6 +452,7 @@ class UnivaRuntime:
         conversation = [{"from": "user", "value": value}]
         embeds, enc_kwargs = self._encode_prompt(conversation, images)
         txt_pad_mask = enc_kwargs["attention_mask"]
+        self._offload_text_boundary(embeds)
 
         # real CLIP pooled row + optional T5 suffix (ref:cli.py:220-233)
         t5_embeds, pooled = self._text_cond(instruction)
@@ -828,6 +846,7 @@ class UnivaRuntime:
         if generate:
             embeds, enc_kwargs = self._encode_prompt(self.conversation, self.history_images)
             txt_pad_mask = enc_kwargs["attention_mask"]
+            self._offload_text_boundary(embeds)
             t5_embeds, pooled = self._text_cond(message)
             if t5_embeds is not None:
                 embeds = jnp.concatenate([embeds, t5_embeds.astype(embeds.dtype)], axis=1)
