@@ -840,6 +840,25 @@ def _core_bwd(causal, scale, block_q, block_kv, has_segments, interpret,
 _flash_attention_core.defvjp(_core_fwd, _core_bwd)
 
 
+def _pick_block(s: int, requested: int, align: int) -> Optional[tuple[int, int]]:
+    """(block, padded_len) minimizing padding: the largest `align`-multiple
+    block <= requested whose padded length ceil(s/block)*block is minimal
+    (ties prefer the larger block, which amortizes grid overhead). Mosaic
+    needs align=128: the segment/bias rows are sliced on their LAST axis at
+    i*block offsets, which must be statically provable 128-multiples
+    (observed on-chip: a seq-320 VLM prefill -> block_kv=320 -> remote
+    compile HTTP 500). The interpreter has no such constraint (align=1).
+    Returns None when no aligned block fits (s or requested < align)."""
+    best = None
+    for blk in range(requested - requested % align, 0, -align):
+        padded = -(-s // blk) * blk
+        if best is None or padded < best[1]:
+            best = (blk, padded)
+            if padded == s:  # exact divisor: larger blocks were already tried
+                break
+    return best
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -854,27 +873,74 @@ def flash_attention(
     block_kv: int = 512,
     interpret: bool = False,  # interpreter mode for CPU correctness tests
 ) -> jnp.ndarray:
-    """BSHD flash attention. See ops.attention.dot_product_attention for args."""
+    """BSHD flash attention. See ops.attention.dot_product_attention for args.
+
+    Ragged sequence lengths are handled by block-size selection + tail
+    padding, NOT by an XLA fallback: serving seqs are whatever the kontext
+    bucket table + prompt bucket produce (e.g. 1024^2 + ref + 640 txt tokens
+    = 8832 = 23*384, and 672x1568 buckets give seqs that are not even
+    128-multiples), and the reference einsum materializes a (H, S, S) f32
+    score tensor -- 6.97GB at the serving shape, an on-chip compile-time
+    RESOURCE_EXHAUSTED (observed in --synthetic_full serving warmup).
+    Padded KV columns are masked for real rows (bias/segment/causal path);
+    padded Q rows compute finite garbage and are sliced off, so their
+    cotangent under the custom VJP is exactly zero."""
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     if scale is None:
         scale = d ** -0.5
-    block_q = min(block_q, sq)
-    block_kv = min(block_kv, skv)
-    if (sq % block_q != 0 or skv % block_kv != 0
-            # Mosaic lane alignment: the segment/bias rows are sliced on
-            # their LAST axis at i*block offsets, which must be statically
-            # provable multiples of 128 (observed on-chip: a seq-320 VLM
-            # prefill -> block_kv=320 -> remote compile HTTP 500)
-            or block_q % 128 != 0 or block_kv % 128 != 0):
-        # Fall back for ragged/unaligned shapes; bucketing normally
-        # prevents this (data/chat_prep pads prompts to 128-multiples).
+    # interpret mode uses the SAME 128-alignment so CPU tests exercise the
+    # exact block selection + padding the TPU path takes; only sub-128
+    # shapes (which real Mosaic cannot block anyway) retry unaligned so
+    # small interpret tests keep running the kernel
+    align = 128
+    pick_q = _pick_block(sq, min(block_q, sq), align)
+    pick_kv = _pick_block(skv, min(block_kv, skv), align)
+    if interpret and (pick_q is None or pick_kv is None):
+        align = 1
+        pick_q = _pick_block(sq, min(block_q, sq), align)
+        pick_kv = _pick_block(skv, min(block_kv, skv), align)
+    if causal and sq == skv and pick_q is not None:
+        # end-aligned causal offset stays 0 only if both sides pad equally
+        pick = _pick_block(sq, min(block_q, block_kv, sq), align)
+        pick_q = pick_kv = pick
+    pad_q = (pick_q[1] - sq) if pick_q else 0
+    pad_kv = (pick_kv[1] - skv) if pick_kv else 0
+    if (pick_q is None or pick_kv is None
+            # padding shifts the end-aligned causal diagonal when sq != skv
+            or (causal and sq != skv and (pad_q or pad_kv))
+            # padded Q rows borrow segment id 0; with caller-provided Q
+            # segments that guarantee is gone (a window with no id-0 keys
+            # would make the padded rows' softmax empty -> NaN residuals
+            # into the bwd kernel), so keep those rare ragged shapes on XLA
+            or (pad_q and q_segment_ids is not None)):
         return _xla_reference(
             q, k, v,
             q_segment_ids if q_segment_ids is not None else jnp.zeros((b, sq), jnp.int32),
             _merge_kv_seg(kv_segment_ids, pad_mask, b, skv),
             causal, scale,
         )
+    block_q, sq_p = pick_q
+    block_kv, skv_p = pick_kv
+    if pad_q or pad_kv:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad_kv), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_kv), (0, 0), (0, 0)))
+        if pad_kv:
+            if pad_mask is None and kv_segment_ids is None and not causal:
+                # synthesize the mask that marks only the KV tail as padding
+                # (causal needs none: padded keys sit at indices the real
+                # rows' diagonal already excludes)
+                pad_mask = jnp.ones((b, skv), jnp.int32)
+            if pad_mask is not None:
+                pad_mask = jnp.pad(pad_mask.astype(jnp.int32),
+                                   ((0, 0), (0, pad_kv)))  # 0 = masked
+            if kv_segment_ids is not None:
+                kv_segment_ids = jnp.pad(
+                    kv_segment_ids.astype(jnp.int32),
+                    ((0, 0), (0, pad_kv)), constant_values=-1,
+                )
+        sq, skv = sq_p, skv_p
 
     if q_segment_ids is None:
         q_seg = jnp.zeros((b, sq), jnp.int32)
@@ -897,19 +963,21 @@ def flash_attention(
         kv_op = jnp.where(
             pad_mask.astype(jnp.bool_), 0.0, _NEG_INF
         ).astype(jnp.float32)
-        return _flash_attention_core(
+        out = _flash_attention_core(
             q, k, v, q_seg, kv_op, causal, scale, block_q, block_kv,
             False, interpret, True
         )
+        return out[:, :sq - pad_q] if pad_q else out
 
     kv_seg = _merge_kv_seg(kv_segment_ids, pad_mask, b, skv)
     has_segments = not (
         q_segment_ids is None and kv_segment_ids is None and pad_mask is None
     )
-    return _flash_attention_core(
+    out = _flash_attention_core(
         q, k, v, q_seg, kv_seg, causal, scale, block_q, block_kv,
         has_segments, interpret
     )
+    return out[:, :sq - pad_q] if pad_q else out
 
 
 def flash_attention_lse(

@@ -78,6 +78,78 @@ class TestFlashAttention:
             causal=True,
         )
 
+    def test_pick_block_prefers_exact_divisor(self):
+        """Serving seqs are whatever the bucket table produces; the wrapper
+        must find the largest 128-aligned block that divides them (8832 =
+        23*384 -> block 384, ZERO padding) instead of falling back to the
+        XLA einsum, whose (H, S, S) f32 scores are 6.97GB at this shape
+        (observed compile-time RESOURCE_EXHAUSTED in serving warmup)."""
+        from gpt_image_edit_tpu.ops.pallas.flash_attention import _pick_block
+
+        assert _pick_block(8832, 512, 128) == (384, 8832)
+        assert _pick_block(8704, 512, 128) == (512, 8704)
+        # 8872 has no 128-aligned divisor: minimal padding wins (256 -> 8960)
+        assert _pick_block(8872, 512, 128) == (256, 8960)
+        assert _pick_block(64, 64, 128) is None  # sub-128: caller falls back
+
+    @pytest.mark.parametrize("case", ["pad_mask", "no_mask", "gqa", "causal"])
+    def test_ragged_seq_pads_to_block(self, case):
+        """Ragged (non-128-multiple) seqs stay on the kernel via tail
+        padding: padded KV columns are masked for real rows, padded Q rows
+        are sliced off. Parity vs the XLA reference on the REAL rows."""
+        b, s, h, d = 2, 333, 2, 64  # 333 -> block 128, padded to 384
+        hkv = 1 if case == "gqa" else h
+        q = _rand((b, s, h, d), 0)
+        k = _rand((b, s, hkv, d), 1)
+        v = _rand((b, s, hkv, d), 2)
+        kw = {}
+        if case == "pad_mask":
+            kw = dict(pad_mask=jnp.ones((b, s), bool).at[:, -50:].set(False))
+        if case == "causal":
+            kw = dict(causal=True)
+        ours = flash_attention(q, k, v, interpret=True, **kw)
+        ref = dot_product_attention(q, k, v, impl="xla", **kw)
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-3)
+
+    def test_ragged_gradients_match_xla(self):
+        """The pad/slice wrapping sits OUTSIDE the custom-VJP core, so
+        autodiff routes padded-row cotangents to exactly zero; grads on the
+        real rows must match the reference."""
+        b, s, h, d = 1, 300, 2, 64
+        q, k, v = (_rand((b, s, h, d), i) for i in range(3))
+        w = _rand((b, s, h, d), 3)
+        pad = jnp.ones((b, s), bool).at[:, -40:].set(False)
+
+        def f(q, k, v):
+            return jnp.sum(w * flash_attention(
+                q, k, v, pad_mask=pad, interpret=True))
+
+        def f_ref(q, k, v):
+            return jnp.sum(w * dot_product_attention(
+                q, k, v, pad_mask=pad, impl="xla"))
+
+        g_ours = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b_ in zip("q k v".split(), g_ours, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=3e-3,
+                err_msg=f"d{name} (ragged)",
+            )
+
+    def test_ragged_q_with_caller_segments_falls_back(self):
+        """Caller-provided Q segment ids + ragged Q keep the XLA path (a
+        padded row borrowing segment 0 could face zero valid keys -> NaN
+        residuals into the bwd kernel); results still correct."""
+        b, s, h, d = 1, 333, 2, 64
+        q, k, v = (_rand((b, s, h, d), i) for i in range(3))
+        seg = jnp.zeros((b, s), jnp.int32).at[:, 200:].set(1)
+        ours = flash_attention(
+            q, k, v, q_segment_ids=seg, kv_segment_ids=seg, interpret=True)
+        ref = dot_product_attention(
+            q, k, v, q_segment_ids=seg, kv_segment_ids=seg, impl="xla")
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-3)
+
     @pytest.mark.parametrize(
         "case",
         ["full", "causal", "gqa", "segments", "pad_only"],
