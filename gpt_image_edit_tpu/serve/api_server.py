@@ -764,6 +764,12 @@ def main(argv=None):
                         "— the first real request at that shape/step count "
                         "then skips the ~6-8 min scan compile (steps is a "
                         "static jit argument, so warm the production count)")
+    p.add_argument("--warmup_variants", type=str, default="plain,streamed",
+                   help="which jit variants --warmup compiles (plain and/or "
+                        "streamed: step_callback is a static argument, so "
+                        "SSE-streamed requests are a separate program); "
+                        "deployments that never stream can halve warmup "
+                        "time with --warmup_variants plain")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -811,15 +817,32 @@ def main(argv=None):
         # both jit variants: step_callback is a static argument, so plain
         # and streamed requests compile different programs — warm each
         # (the persistent compile cache makes the cost one-time)
+        wanted = {v.strip() for v in args.warmup_variants.split(",") if v.strip()}
+        unknown = wanted - {"plain", "streamed"}
+        if unknown:
+            raise SystemExit(f"--warmup_variants: unknown {sorted(unknown)}")
         for label, cb in (("plain", None), ("streamed", _progress_cb)):
+            if label not in wanted:
+                continue
             log.info("warmup (%s): compiling the %dx%d %d-step program...",
                      label, w, h, warm_steps)
             t0 = _time.perf_counter()
-            runtime.edit(
-                "warmup", _Image.new("RGB", (w, h)),
-                steps=warm_steps, height=h, width=w, seed=0,
-                step_callback=cb,
-            )
+            try:
+                runtime.edit(
+                    "warmup", _Image.new("RGB", (w, h)),
+                    steps=warm_steps, height=h, width=w, seed=0,
+                    step_callback=cb,
+                )
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                # a transient remote-compile failure (observed: UNAVAILABLE
+                # on the streamed variant ~20 min in, after the plain
+                # variant had already warmed) must not kill a server whose
+                # other programs compiled fine — the failed variant will
+                # compile on first demand instead
+                log.exception("warmup (%s) FAILED after %.1fs; serving "
+                              "anyway (that variant compiles on demand)",
+                              label, _time.perf_counter() - t0)
+                continue
             log.info("warmup (%s) done in %.1fs",
                      label, _time.perf_counter() - t0)
 
