@@ -189,10 +189,18 @@ def adaln_stacked(p: Params, silu_temb: jnp.ndarray, chunks: int) -> jnp.ndarray
             (((1,), (1,)), ((), ())),          # (B,in) x (L,in,C) -> (B,L,C)
             preferred_element_type=jnp.int32,
         )
+        import os as _os
+
+        # same epilogue dtype rule as _w8a8_matmul (ADVICE r4 #2: the
+        # GIE_W8A8_EPILOGUE=f32 debug knob must cover the stacked adaLN
+        # matmul too, or the per-layer-parity claim breaks under it)
+        ep = (jnp.float32
+              if _os.environ.get("GIE_W8A8_EPILOGUE", "bf16") == "f32"
+              else jnp.bfloat16)
         y = (
-            acc.astype(jnp.bfloat16)
-            * s_x.astype(jnp.bfloat16)[:, :, None]         # (B,1,1)
-            * kernel["scale"][:, 0, :].astype(jnp.bfloat16)[None]  # (1,L,C)
+            acc.astype(ep)
+            * s_x.astype(ep)[:, :, None]                   # (B,1,1)
+            * kernel["scale"][:, 0, :].astype(ep)[None]    # (1,L,C)
         ).astype(silu_temb.dtype)
         y = y.transpose(1, 0, 2)                           # (L, B, C)
         if "bias" in p:

@@ -909,11 +909,14 @@ def flash_attention(
     if (pick_q is None or pick_kv is None
             # padding shifts the end-aligned causal diagonal when sq != skv
             or (causal and sq != skv and (pad_q or pad_kv))
-            # padded Q rows borrow segment id 0; with caller-provided Q
-            # segments that guarantee is gone (a window with no id-0 keys
-            # would make the padded rows' softmax empty -> NaN residuals
-            # into the bwd kernel), so keep those rare ragged shapes on XLA
-            or (pad_q and q_segment_ids is not None)):
+            # padded Q rows borrow segment id 0; with caller-provided Q *or*
+            # KV segments that guarantee is gone (a batch row whose keys
+            # contain no id-0 entries makes the padded rows' softmax empty ->
+            # NaN residuals into the bwd kernel, and NaN * 0-cotangent
+            # contaminates dk/dv), so keep those rare ragged shapes on XLA
+            # (ADVICE r4 #1)
+            or (pad_q and (q_segment_ids is not None
+                           or kv_segment_ids is not None))):
         return _xla_reference(
             q, k, v,
             q_segment_ids if q_segment_ids is not None else jnp.zeros((b, sq), jnp.int32),

@@ -150,6 +150,31 @@ class TestFlashAttention:
             q, k, v, q_segment_ids=seg, kv_segment_ids=seg, impl="xla")
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-3)
 
+    def test_ragged_q_with_kv_segments_falls_back(self, monkeypatch):
+        """ADVICE r4 #1: kv_segment_ids alone + ragged Q must also take the
+        XLA path — a padded Q row borrows segment 0, and a batch row whose
+        keys contain no segment-0 entries would give it an empty softmax
+        (NaN residuals contaminating dk/dv through the bwd kernel)."""
+        from gpt_image_edit_tpu.ops.pallas import flash_attention as fa_mod
+
+        def _boom(*a, **kw):
+            raise AssertionError("kernel path must not engage")
+
+        monkeypatch.setattr(fa_mod, "_flash_attention_core", _boom)
+        b, s, h, d = 2, 333, 2, 64
+        q, k, v = (_rand((b, s, h, d), i) for i in range(3))
+        # batch row 1's keys are ALL segment 1: padded Q rows (implicit
+        # segment 0) would have zero valid keys there
+        kv_seg = jnp.zeros((b, s), jnp.int32).at[1].set(1)
+        ours = fa_mod.flash_attention(
+            q, k, v, kv_segment_ids=kv_seg, interpret=True)
+        ref = dot_product_attention(
+            q, k, v, q_segment_ids=jnp.zeros((b, s), jnp.int32),
+            kv_segment_ids=kv_seg, impl="xla")
+        # row 0 (seg-0 keys exist) must match; row 1 is caller-degenerate
+        np.testing.assert_allclose(
+            np.asarray(ours[0]), np.asarray(ref[0]), atol=2e-3)
+
     @pytest.mark.parametrize(
         "case",
         ["full", "causal", "gqa", "segments", "pad_only"],
