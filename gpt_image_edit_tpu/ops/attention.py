@@ -101,8 +101,14 @@ def dot_product_attention(
         assert q_segment_ids is None and kv_segment_ids is None and bias is None, (
             "ring attention supports causal/pad_mask only"
         )
+        # Pallas flash hops on TPU by default (padded to 128-aligned blocks;
+        # custom VJP -> CP training uses them too). GIE_RING_HOP overrides
+        # (jnp|flash|auto) for hardware A/B runs.
+        import os
+
         return context_parallel_attention(
-            q, k, v, pad_mask=pad_mask, causal=causal, scale=scale
+            q, k, v, pad_mask=pad_mask, causal=causal, scale=scale,
+            hop_impl=os.environ.get("GIE_RING_HOP", "auto"),
         )
 
     if impl == "pallas":

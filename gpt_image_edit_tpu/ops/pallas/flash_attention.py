@@ -1002,8 +1002,11 @@ def flash_attention_lse(
     attention: per-hop outputs merge exactly via
         m' = max(m, lse_t); acc' = acc*e^(m-m') + o_t*e^(lse_t-m')
     (blockwise-parallel-attention merge). Non-causal only (a per-hop global
-    causal offset is not plumbed into the kernel); NO custom VJP — training
-    paths must use the jnp ring hop, which jax.grad differentiates.
+    causal offset is not plumbed into the kernel). Differentiable (VERDICT
+    r4 #5): a custom VJP routes both cotangents (do, dlse) through the
+    Pallas backward kernels — d(lse)/ds = p, so dlse folds into the
+    backward's delta term (see flash_attention_bwd) — which makes the ring
+    flash hop usable in CP *training*, not just inference.
 
     Fully-masked query rows return o=0 with a finite, very negative lse
     (~-1.65e38 = _NEG_INF * ln2), so cross-hop merges stay NaN-free.
@@ -1034,11 +1037,81 @@ def flash_attention_lse(
     has_segments = not (
         q_segment_ids is None and kv_segment_ids is None and pad_mask is None
     )
+    vma = frozenset(out_vma) if out_vma else None  # hashable (nondiff arg)
+    return _lse_core(q, k, v, q_seg, kv_seg, scale, block_q, block_kv,
+                     has_segments, interpret, vma)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _lse_core(q, k, v, q_seg, kv_seg, scale, block_q, block_kv,
+              has_segments, interpret, out_vma):
     out, lse, _ = _flash_fwd(
         q, k, v, q_seg, kv_seg, False, scale, block_q, block_kv,
         has_segments, interpret, need_lse=True, out_vma=out_vma,
     )
     return out, lse[..., 0]
+
+
+def _lse_core_fwd(q, k, v, q_seg, kv_seg, scale, block_q, block_kv,
+                  has_segments, interpret, out_vma):
+    out, lse, resident = _flash_fwd(
+        q, k, v, q_seg, kv_seg, False, scale, block_q, block_kv,
+        has_segments, interpret, need_lse=True, out_vma=out_vma,
+    )
+    # lse stays in its lane-padded (B, Hq, Sq, 128) storage as the residual:
+    # the backward kernels read it at that layout
+    return (out, lse[..., 0]), (q, k, v, out, lse, q_seg, kv_seg, resident)
+
+
+def _lse_core_bwd(scale, block_q, block_kv, has_segments, interpret, out_vma,
+                  res, g):
+    q, k, v, o, lse, q_seg, kv_seg, resident = res
+    do, dlse = g
+    sq, skv = q.shape[1], k.shape[1]
+    if resident and sq % block_q == 0 and skv % block_kv == 0:
+        from gpt_image_edit_tpu.ops.pallas.flash_attention_bwd import (
+            flash_attention_bwd,
+        )
+
+        dq, dk, dv = flash_attention_bwd(
+            q, k, v, o, do, lse, q_seg, kv_seg,
+            causal=False, scale=scale, block_q=block_q, block_kv=block_kv,
+            has_segments=has_segments, interpret=interpret,
+            dlse=dlse, out_vma=out_vma,
+        )
+        return dq, dk, dv, None, None
+    # non-resident / misaligned: differentiate a jnp (out, lse) reference
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _lse_jnp_reference(q_, k_, v_, q_seg, kv_seg, scale),
+        q, k, v,
+    )
+    dq, dk, dv = vjp((do, dlse))
+    return dq, dk, dv, None, None
+
+
+def _lse_jnp_reference(q, k, v, q_seg, kv_seg, scale):
+    """jnp (out, lse) with flash_attention_lse's exact contract — the VJP
+    fallback for shapes the Pallas backward cannot take (non-resident KV)."""
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    g = hq // hkv
+    kk = jnp.repeat(k, g, axis=2).astype(jnp.float32)
+    vv = jnp.repeat(v, g, axis=2).astype(jnp.float32)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), kk) * scale
+    keep = (q_seg[:, None, :, None] == kv_seg[:, None, None, :])
+    s = jnp.where(keep, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.where(keep, jnp.exp(s - m), 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhqk,bkhd->bhqd", p / jnp.maximum(l, 1e-30), vv)
+    alive = jnp.any(keep, axis=-1)                       # (B,H,Q)
+    o = jnp.where(alive[..., None], o, 0.0).transpose(0, 2, 1, 3)
+    lse = m[..., 0] + jnp.log(jnp.maximum(l[..., 0], 1e-38))
+    lse = jnp.where(alive, lse, _NEG_INF * 0.6931471805599453)  # * ln 2
+    return o.astype(q.dtype), lse
+
+
+_lse_core.defvjp(_lse_core_fwd, _lse_core_bwd)
 
 
 def _merge_kv_seg(kv_segment_ids, pad_mask, b, skv):

@@ -146,9 +146,17 @@ def _dkv_kernel(
 def flash_attention_bwd(
     q, k, v, o, do, lse, q_seg, kv_seg,
     *, causal, scale, block_q, block_kv, has_segments, interpret=False,
+    dlse=None, out_vma=None,
 ):
     """BSHD grads. lse: (B, Hq, Sq) fp32 from the forward. Returns dq, dk, dv
-    (dk/dv group-summed for GQA)."""
+    (dk/dv group-summed for GQA).
+
+    dlse: optional (B, Hq, Sq) cotangent of the forward's logsumexp output
+    (the ring-attention per-hop merge consumes lse, so its VJP carries one).
+    Since d(lse)/d(s_k) = p_k, the lse path adds p * dlse to ds — exactly a
+    -dlse shift of delta in ds = p * (dp - delta), so the kernels need no
+    change. out_vma: varying-mesh-axes annotation for the grad outputs when
+    this runs inside a shard_map body (the ring hop's backward)."""
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     group = hq // hkv
@@ -160,7 +168,10 @@ def flash_attention_bwd(
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
     ).transpose(0, 2, 1)  # (B, Hq, Sq)
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)
     delta = jnp.broadcast_to(delta[..., None], delta.shape + (128,))
+    vma = frozenset(out_vma) if out_vma else None
     q_seg = q_seg.reshape(b, 1, sq)
     kv_seg = kv_seg.reshape(b, 1, skv)
 
@@ -195,7 +206,7 @@ def flash_attention_bwd(
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype, vma=vma),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
@@ -241,8 +252,8 @@ def flash_attention_bwd(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, hq, skv, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, skv, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, skv, d), q.dtype, vma=vma),
+            jax.ShapeDtypeStruct((b, hq, skv, d), q.dtype, vma=vma),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_kv, d), jnp.float32),

@@ -345,3 +345,91 @@ def test_qk8_ragged_shape_falls_back():
     out = flash_attention_qk8(q, k, v, pad_mask=pm, interpret=True)
     ref = dot_product_attention(q, k, v, pad_mask=pm, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestFlashLseVjp:
+    """flash_attention_lse's custom VJP (VERDICT r4 #5): both cotangents
+    (d_out AND d_lse) must route through the Pallas backward kernels — the
+    lse cotangent folds into the backward delta term (d lse/ds = p). This is
+    what makes ring/CP attention trainable on the kernel path."""
+
+    @staticmethod
+    def _jnp_out_lse(q, k, v, pad_mask=None, scale=None):
+        import jax.numpy as jnp
+
+        b, sq, hq, d = q.shape
+        _, skv, hkv, _ = k.shape
+        g = hq // hkv
+        if scale is None:
+            scale = d ** -0.5
+        kk = jnp.repeat(k, g, axis=2).astype(jnp.float32)
+        vv = jnp.repeat(v, g, axis=2).astype(jnp.float32)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), kk) * scale
+        if pad_mask is not None:
+            s = jnp.where(pad_mask[:, None, None, :], s, -1e30)
+        m = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m)
+        if pad_mask is not None:
+            p = jnp.where(pad_mask[:, None, None, :], p, 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.einsum("bhqk,bkhd->bhqd", p / l, vv).transpose(0, 2, 1, 3)
+        lse = m[..., 0] + jnp.log(l[..., 0])
+        return o.astype(q.dtype), lse
+
+    @pytest.mark.parametrize("case", ["plain", "gqa_pad"])
+    def test_grads_match_jnp(self, case):
+        from gpt_image_edit_tpu.ops.pallas.flash_attention import (
+            flash_attention_lse,
+        )
+
+        if case == "plain":
+            b, s, hq, hkv, d = 1, 256, 2, 2, 16
+            pad = None
+        else:
+            b, s, hq, hkv, d = 2, 256, 4, 2, 16
+            pad = jnp.asarray(np.ones((b, s), bool)).at[0, -70:].set(False)
+        q = _rand((b, s, hq, d), 60)
+        k = _rand((b, s, hkv, d), 61)
+        v = _rand((b, s, hkv, d), 62)
+        g_o = _rand((b, s, hq, d), 63)
+        g_l = _rand((b, hq, s), 64)  # nonzero lse cotangent
+
+        def loss(fn):
+            def inner(q, k, v):
+                o, lse = fn(q, k, v)
+                return jnp.sum(o * g_o) + jnp.sum(lse * g_l)
+            return inner
+
+        ours = loss(lambda q, k, v: flash_attention_lse(
+            q, k, v, pad_mask=pad, block_q=128, block_kv=128, interpret=True))
+        ref = loss(lambda q, k, v: self._jnp_out_lse(q, k, v, pad_mask=pad))
+        got = jax.grad(ours, argnums=(0, 1, 2))(q, k, v)
+        exp = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(exp, got):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       atol=3e-5)
+
+    def test_fully_masked_rows_grads_finite(self):
+        """A batch row whose keys are ALL masked: fwd gives o=0/finite lse;
+        bwd must return finite (zero) grads, not NaN."""
+        from gpt_image_edit_tpu.ops.pallas.flash_attention import (
+            flash_attention_lse,
+        )
+
+        b, s, h, d = 2, 128, 2, 16
+        q, k, v = (_rand((b, s, h, d), 70 + i) for i in range(3))
+        pad = jnp.asarray(np.ones((b, s), bool)).at[1].set(False)
+
+        def loss(q, k, v):
+            o, lse = flash_attention_lse(
+                q, k, v, pad_mask=pad, block_q=128, block_kv=128,
+                interpret=True)
+            return jnp.sum(o ** 2) + jnp.sum(jnp.where(pad, lse[:, 0], 0.0))
+
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for g in grads:
+            arr = np.asarray(g)
+            assert np.isfinite(arr).all()
+        # masked row contributes nothing
+        assert np.abs(np.asarray(grads[1])[1]).max() == 0.0
+        assert np.abs(np.asarray(grads[2])[1]).max() == 0.0

@@ -346,10 +346,106 @@ class TestRingFlashHops:
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
-    def test_non_512_aligned_shard_block_pick(self):
-        from gpt_image_edit_tpu.ops.ring_attention import _flash_block_q
+    def test_cp_shard_flash_plan(self):
+        """VERDICT r4 #5: the real CP shard length 8704/8 = 1088 has no
+        128-multiple divisor — the plan PADS to 1152 = 3 x 384 instead of
+        abandoning the kernel (6% pad, vs the jnp-hop fallback it replaces)."""
+        from gpt_image_edit_tpu.ops.ring_attention import _FlashPlan
 
-        assert _flash_block_q(1088) == 272   # 8704 / 8 CP shards
-        assert _flash_block_q(512) == 512
-        assert _flash_block_q(64) == 64
-        assert _flash_block_q(7) == 0        # no multiple-of-8 divisor
+        p = _FlashPlan(1088, 1088, 512)
+        assert (p.bq, p.sq_pad) == (384, 1152)
+        assert (p.bkv, p.skv_pad) == (384, 1152)
+        assert p.pad_ratio(1088, 1088) <= 1.06
+        # exact divisors stay unpadded with the largest block
+        p = _FlashPlan(1024, 1024, 512)
+        assert (p.bq, p.sq_pad) == (512, 1024)
+        # tiny CPU-test shards pad all the way to one 128 block
+        p = _FlashPlan(16, 16, 512)
+        assert (p.bq, p.sq_pad) == (128, 128)
+        assert p.pad_ratio(16, 16) == 8.0  # -> "auto" keeps jnp hops here
+
+    def test_flash_hop_grads_with_padding(self, seq_mesh, monkeypatch):
+        """CP training viability at unaligned shard lengths (VERDICT r4 #5):
+        hop_impl='flash' with shard length 17 -> padded to 128; grads must
+        match single-device autodiff exactly (padded-Q cotangents are zero
+        by construction, padded keys are mask-False). Uses the jnp stand-in
+        (same contract) since the pallas interpreter can't run inside
+        shard_map on CPU."""
+        import gpt_image_edit_tpu.ops.pallas.flash_attention as fa
+
+        monkeypatch.setattr(fa, "flash_attention_lse", _lse_reference)
+        b, s, h, d = 1, 136, 2, 16  # 17 tokens/shard: no 128-mult divisor
+        q, k, v = (_rand((b, s, h, d), 80 + i) for i in range(3))
+        pad = jnp.asarray(np.ones((b, s), bool)).at[:, -20:].set(False)
+        g = _rand((b, s, h, d), 83)
+
+        def ref_loss(q, k, v):
+            return jnp.sum(
+                dot_product_attention(q, k, v, pad_mask=pad, impl="xla") * g
+            )
+
+        def ring_loss(q, k, v):
+            return jnp.sum(
+                context_parallel_attention(
+                    q, k, v, mesh=seq_mesh, pad_mask=pad,
+                    hop_impl="flash", _flash_interpret=True,
+                ) * g
+            )
+
+        g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        g_ring = jax.grad(ring_loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g_ref, g_ring):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=3e-5)
+
+    def test_flash_hops_real_kernel_full_manual(self, seq_mesh):
+        """The composed pallas-interpret ring CAN run on CPU under a FULL-
+        manual shard_map with check_vma=False (the varying-manual-axes check
+        that blocks the partial-manual composition is skippable there) —
+        this drives the REAL kernels (fwd + custom-VJP bwd) through the ring
+        merge with shard padding, no stand-in. Grads exercise the Pallas
+        backward with a nonzero dlse cotangent per hop (VERDICT r4 #5)."""
+        import functools
+
+        from gpt_image_edit_tpu.ops.ring_attention import ring_attention
+
+        b, s, h, d = 1, 136 * 8, 2, 16  # 136/shard -> padded to 256
+        q, k, v = (_rand((b, s, h, d), i + 95) for i in range(3))
+        spec = jax.sharding.PartitionSpec(None, "sequence", None, None)
+        fn = jax.shard_map(
+            functools.partial(ring_attention, axis_name="sequence",
+                              hop_impl="flash", _flash_interpret=True),
+            mesh=seq_mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False,
+        )
+        ref = dot_product_attention(q, k, v, impl="xla")
+        np.testing.assert_allclose(
+            np.asarray(fn(q, k, v)), np.asarray(ref), atol=2e-5
+        )
+        g_ring = jax.grad(
+            lambda q, k, v: jnp.sum(fn(q, k, v) ** 2), argnums=(0, 1, 2)
+        )(q, k, v)
+        g_ref = jax.grad(
+            lambda q, k, v: jnp.sum(
+                dot_product_attention(q, k, v, impl="xla") ** 2
+            ), argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b_ in zip(g_ref, g_ring):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       atol=3e-5)
+
+    @pytest.mark.skipif(
+        jax.default_backend() != "tpu",
+        reason="pallas-under-shard_map composition needs real TPU lowering",
+    )
+    def test_flash_hops_on_tpu_cp_shape(self, seq_mesh):
+        """The serving joint sequence 8704 over 8 CP shards: 1088/shard,
+        padded to 1152 inside the ring (the r4 jnp-fallback shape)."""
+        b, s, h, d = 1, 8704, 2, 128
+        q, k, v = (_rand((b, s, h, d), i + 90) for i in range(3))
+        ref = dot_product_attention(q, k, v, impl="xla")
+        out = context_parallel_attention(
+            q, k, v, mesh=seq_mesh, hop_impl="flash"
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-3
+        )
