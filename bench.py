@@ -224,7 +224,10 @@ def _load_fresh_rows(max_age_h: float = CACHE_MAX_AGE_H,
         elif k == "scan_depth":
             out["scan_rows"][(r["nd"], r["ns"])] = r["t_min_s"]
         elif k == "e2e_vlm":
-            key = "t_vlm_w8a8_s" if r.get("quant") == "w8a8" else "t_vlm_s"
+            if r.get("seq", 0) >= 2048:  # worst-case long-chat bucket row
+                key = "t_vlm_long_s"
+            else:
+                key = "t_vlm_w8a8_s" if r.get("quant") == "w8a8" else "t_vlm_s"
             out["e2e"][key] = r["t_s"]
         elif k == "e2e_t5":
             out["e2e"]["t_t5_s"] = r["t_s"]
@@ -324,7 +327,8 @@ def _run_e2e_rows(needed: set[str], time_left) -> dict | None:
     allocations fail), so in-process row isolation is not enough — a row
     failure must not share a process with the rows after it."""
     merged: dict = {}
-    for row, mins in (("vlm", 12), ("vlm_w8a8", 10), ("t5", 10), ("vae", 10)):
+    for row, mins in (("vlm", 12), ("vlm_w8a8", 10), ("vlm_long", 10),
+                      ("t5", 10), ("vae", 10)):
         if row not in needed:
             continue
         if time_left() < 120:
@@ -382,6 +386,12 @@ def _assemble(scan: dict, e2e: dict | None, train: dict | None) -> dict:
                      f"= {1.0 / t_e2e:.4f} img/s")
             log(f"e2e: scan {t_best:.2f}s + other {e2e['t_other_s']:.2f}s "
                 f"= {t_e2e:.2f}s/edit ({1.0 / t_e2e:.4f} img/s/chip)")
+            if "t_other_worst_s" in e2e:
+                # VERDICT r4 #7: bracket — longest chat-bucket prefill +
+                # true-CFG (2x scan) + T5 + VAE
+                t_worst = 2.0 * t_best + e2e["t_other_worst_s"]
+                extra += (f"; worst case (long-chat prefill + true-CFG 2x "
+                          f"scan) {t_worst:.2f}s = {1.0 / t_worst:.4f} img/s")
         fit_note = (
             f"bf16 extrapolation {fit:.4f}" if fit == fit else "fit rows lost"
         )
@@ -540,6 +550,7 @@ def supervise() -> int:
     e2e_have = state["e2e"] or {}
     needed = {row for row, keys in (
         ("vlm", ("t_vlm_s",)), ("vlm_w8a8", ("t_vlm_w8a8_s",)),
+        ("vlm_long", ("t_vlm_long_s",)),
         ("t5", ("t_t5_s",)), ("vae", ("t_vae_enc_s", "t_vae_dec_s")),
     ) if any(e2e_have.get(k) is None for k in keys)}
     if needed and time_left() > 120:
@@ -547,7 +558,7 @@ def supervise() -> int:
         if fresh:
             state["e2e"] = {**e2e_have, **fresh}
             _compose_e2e(state["e2e"])
-            prov["e2e"] = "mixed" if len(needed) < 4 or e2e_have else "fresh"
+            prov["e2e"] = "mixed" if len(needed) < 5 or e2e_have else "fresh"
             if "t_other_s" in state["e2e"]:
                 _log_experiment("e2e_composed",
                                 t_other_s=round(state["e2e"]["t_other_s"], 4))
@@ -952,6 +963,13 @@ def _compose_e2e(res: dict) -> None:
             and res.get("t_vae_dec_s") is not None):
         res["t_other_s"] = (t_vlm_best + (res.get("t_t5_s") or 0.0)
                             + res["t_vae_enc_s"] + res["t_vae_dec_s"])
+    # worst-case bracket (VERDICT r4 #7): longest chat-bucket VLM prefill;
+    # the true-CFG 2x scan factor is applied on the scan side in _assemble
+    t_vlm_long = res.get("t_vlm_long_s")
+    if (t_vlm_long is not None and res.get("t_vae_enc_s") is not None
+            and res.get("t_vae_dec_s") is not None):
+        res["t_other_worst_s"] = (t_vlm_long + (res.get("t_t5_s") or 0.0)
+                                  + res["t_vae_enc_s"] + res["t_vae_dec_s"])
 
 
 def phase_e2e(only: str | None = None) -> dict:
@@ -986,8 +1004,8 @@ def phase_e2e(only: str | None = None) -> dict:
     on_tpu = dev.platform == "tpu"
     log(f"device: {dev}, platform: {dev.platform}")
 
-    res: dict = {"t_vlm_s": None, "t_vlm_w8a8_s": None, "t_t5_s": None,
-                 "t_vae_enc_s": None, "t_vae_dec_s": None}
+    res: dict = {"t_vlm_s": None, "t_vlm_w8a8_s": None, "t_vlm_long_s": None,
+                 "t_t5_s": None, "t_vae_enc_s": None, "t_vae_dec_s": None}
 
     def _compose() -> None:
         # written after every row so a late OOM keeps the rest
@@ -1017,13 +1035,18 @@ def phase_e2e(only: str | None = None) -> dict:
                  * cfg.vision.patch_size ** 2)
     pixels = jnp.full((n_patches, patch_dim), 0.01, jnp.bfloat16)
     n_img_tokens = n_patches // (cfg.vision.spatial_merge_size ** 2)
-    x_emb = jnp.full((b, seq, cfg.text.hidden_size), 0.01, jnp.bfloat16)
-    pos = jnp.broadcast_to(
-        jnp.arange(seq)[None, None], (3, b, seq)
-    ).astype(jnp.int32)
+
+    def _emb_pos(s):
+        x = jnp.full((b, s, cfg.text.hidden_size), 0.01, jnp.bfloat16)
+        p = jnp.broadcast_to(
+            jnp.arange(s)[None, None], (3, b, s)
+        ).astype(jnp.int32)
+        return x, p
+
+    x_emb, pos = _emb_pos(seq)
 
     @jax.jit
-    def vlm_fwd(p, pixels, x):
+    def vlm_fwd(p, pixels, x, pos_):
         img = vision.apply(p["visual"], cfg.vision, pixels, aux)
         # scatter cost is negligible; time the real compute path: ViT +
         # trunk + projector. (The scatter needs token ids; shape-only
@@ -1031,19 +1054,20 @@ def phase_e2e(only: str | None = None) -> dict:
         x = jax.lax.dynamic_update_slice(
             x, img[None, :, :].astype(x.dtype), (0, 0, 0)
         )
-        hidden = language.trunk(p["lm"], cfg.text, x, pos)
+        hidden = language.trunk(p["lm"], cfg.text, x, pos_)
         return denoise_projector(p["projector"], hidden)
 
     @jax.jit
-    def chain(p, pixels, x, prev):
+    def chain(p, pixels, x, pos_, prev):
         # data-depend each rep on the previous output so the tunnel cannot
         # reorder/elide repetitions (block_until_ready is a no-op on axon)
         x = (x * (1.0 + 0.0 * jnp.mean(prev.astype(jnp.float32)))).astype(x.dtype)
-        return vlm_fwd(p, pixels, x)
+        return vlm_fwd(p, pixels, x, pos_)
 
     reps = 8
 
-    def _time_vlm(qkey: str) -> float:
+    def _time_vlm(qkey: str, seq_len: int | None = None) -> float:
+        x_e, pos_ = (x_emb, pos) if seq_len is None else _emb_pos(seq_len)
         params = None
         try:
             if on_tpu:
@@ -1055,16 +1079,16 @@ def phase_e2e(only: str | None = None) -> dict:
                                             float_dtype=jnp.bfloat16)
             else:
                 params = _shape_params(jax, jnp, abstract)
-            out = vlm_fwd(params, pixels, x_emb)
+            out = vlm_fwd(params, pixels, x_e, pos_)
             _sync(jnp, out)
-            o = chain(params, pixels, x_emb, out)
+            o = chain(params, pixels, x_e, pos_, out)
             _sync(jnp, o)  # compile chain
             # per-rep sync + min-of-reps: a transient tunnel stall inflates
             # one rep, not the row (same hardening as the scan phase)
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                o = chain(params, pixels, x_emb, o)
+                o = chain(params, pixels, x_e, pos_, o)
                 _sync(jnp, o)
                 best = min(best, time.perf_counter() - t0)
             return best
@@ -1099,6 +1123,22 @@ def phase_e2e(only: str | None = None) -> dict:
                             t_s=round(t_w8a8, 4))
         except Exception as e:
             _row_failed("W8A8 VLM", e)
+        _compose()
+
+    # worst-case bracket row (VERDICT r4 #7): the longest chat-history
+    # bucket the server pads to — multi-turn context + history image tokens
+    # (ref:univa/serve/cli.py:210-254 keeps prior images in the prompt)
+    if only in (None, "vlm_long"):
+        long_seq = 2048 if on_tpu else 96
+        try:
+            t_long = _time_vlm("q_w8a8" if on_tpu else "q", seq_len=long_seq)
+            res["t_vlm_long_s"] = t_long
+            log(f"VLM prefill LONG bucket (seq {long_seq}, w8a8): "
+                f"{t_long * 1000:.1f} ms")
+            _log_experiment("e2e_vlm", quant="w8a8" if on_tpu else "bf16-tiny",
+                            seq=long_seq, t_s=round(t_long, 4))
+        except Exception as e:
+            _row_failed("long-bucket VLM", e)
         _compose()
 
     # T5-XXL encoder forward (the reference's default serving path concats
@@ -1531,7 +1571,7 @@ def phase_train(only: str | None = None) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", choices=["scan", "e2e", "train"])
-    ap.add_argument("--only", help="e2e: vlm|vlm_w8a8|t5|vae; train: "
+    ap.add_argument("--only", help="e2e: vlm|vlm_w8a8|vlm_long|t5|vae; train: "
                     "ladder|dots|full_int4_512|full_int4_1024|full_int8_512 "
                     "— per-row subprocess isolation")
     ap.add_argument("--out")
