@@ -825,11 +825,12 @@ def phase_scan() -> dict:
     #   W8A8 (int8 MXU matmuls)   — the fast serving mode (~22% faster).
     # Constructed shape-only (a bf16 tree first would OOM the chip).
     def _full_depth_int8(qkey, attn_impl="auto", scan_blocks=True,
-                         scan_unroll=1, batch=1):
+                         scan_unroll=1, batch=1, fuse_mod_quant="off"):
         cfg = dataclasses.replace(
             FluxConfig(), num_layers=19, num_single_layers=38,
             rope_dtype="bfloat16", attention_impl=attn_impl,
             scan_blocks=scan_blocks, scan_unroll=scan_unroll,
+            fuse_mod_quant=fuse_mod_quant,
         )
         abstract = jax.eval_shape(
             lambda key: init_flux(key, cfg, jnp.bfloat16), jax.random.key(0)
@@ -866,6 +867,12 @@ def phase_scan() -> dict:
                     variants.append(("q4", "int4 weight-only", "auto", True, 1, 1))
                 elif tok == "w8a8":
                     variants.append(("q_w8a8", "W8A8", "auto", True, 1, 1))
+                elif tok == "w8a8_fq":
+                    # fused Pallas ln+modulate+quant prologue (VERDICT r4
+                    # #2): the env is read at trace time inside the model
+                    variants.append(
+                        ("q_w8a8", "W8A8 fused-quant", "auto", True, 1, 1)
+                    )
                 elif tok == "w8a8_unrolled":
                     variants.append(
                         ("q_w8a8", "W8A8 unrolled", "auto", False, 1, 1)
@@ -895,9 +902,13 @@ def phase_scan() -> dict:
             # (the `copy` bucket was 40-48% of the W8A8 step profile)
             variants.append(("q_w8a8", f"W8A8 scan-u{u}", "auto", True, u, 1))
         for qkey, label, attn, scan_b, scan_u, nb in variants:
+            # fused-quant rides the config (part of denoise_scan's static
+            # compile key — an env flip alone would reuse the old program)
+            fq = "on" if label == "W8A8 fused-quant" else "off"
             try:
                 t, t_med = _full_depth_int8(qkey, attn, scan_blocks=scan_b,
-                                            scan_unroll=scan_u, batch=nb)
+                                            scan_unroll=scan_u, batch=nb,
+                                            fuse_mod_quant=fq)
                 # measured[] stores SECONDS PER IMAGE so _assemble's 1/t and
                 # min() comparisons stay correct across batch sizes
                 t_img = t / nb

@@ -60,6 +60,13 @@ class FluxConfig:
     # — the middle ground between scan (u1) and full unrolling on the
     # copy-dominated W8A8 profile, at ~k x body compile cost.
     scan_unroll: int = 1
+    # fused Pallas ln+modulate+quant block prologue for W8A8 serving
+    # (VERDICT r4 #2: one HBM pass instead of the XLA ln/mod/absmax/quant
+    # chain). "env" = consult GIE_FUSE_MOD_QUANT at trace time (default
+    # off); "on" | "off" | "interpret" (tests) are explicit — use those
+    # under jitted pipelines (denoise_scan keys its compile cache on this
+    # config, so an env flip alone would silently reuse the old program).
+    fuse_mod_quant: str = "env"
 
     @property
     def inner_dim(self) -> int:

@@ -33,6 +33,7 @@ from gpt_image_edit_tpu.models.common import (
     linear_gelu,
     linear_init,
     linear_multi,
+    ln_modulate_quant,
     rms_weight_init,
 )
 from gpt_image_edit_tpu.models.flux.config import FluxConfig
@@ -219,15 +220,22 @@ def _dual_block(
     sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp = mod
     c_sh_msa, c_sc_msa, c_g_msa, c_sh_mlp, c_sc_mlp, c_g_mlp = mod_ctx
 
-    img_mod = modulate(layer_norm(img, eps=1e-6), sh_msa, sc_msa)
-    txt_mod = modulate(layer_norm(txt, eps=1e-6), c_sh_msa, c_sc_msa)
+    # W8A8 + GIE_FUSE_MOD_QUANT: these return QuantRows from the fused
+    # Pallas ln+modulate+quant kernel (one HBM pass; the bf16 modulated
+    # tensor never materializes) — else the plain bf16 chain
+    img_mod = ln_modulate_quant(img, sh_msa, sc_msa, p["attn"]["to_q"],
+                                mode=cfg.fuse_mod_quant)
+    txt_mod = ln_modulate_quant(txt, c_sh_msa, c_sc_msa,
+                                p["attn"]["add_q_proj"],
+                                mode=cfg.fuse_mod_quant)
 
     attn_img, attn_txt = _joint_attention(
         p["attn"], img_mod, txt_mod, cos, sin, cfg, pad_mask
     )
 
     img = img + g_msa[:, None, :] * attn_img
-    img_mlp = modulate(layer_norm(img, eps=1e-6), sh_mlp, sc_mlp)
+    img_mlp = ln_modulate_quant(img, sh_mlp, sc_mlp, p["ff"]["in"],
+                                mode=cfg.fuse_mod_quant)
     # linear_gelu: single-pass gelu quantization in W8A8 mode (scale from
     # the pre-gelu row max); == linear(gelu(.)) otherwise
     img = img + g_mlp[:, None, :] * linear_gelu(
@@ -235,7 +243,9 @@ def _dual_block(
     )
 
     txt = txt + c_g_msa[:, None, :] * attn_txt
-    txt_mlp = modulate(layer_norm(txt, eps=1e-6), c_sh_mlp, c_sc_mlp)
+    txt_mlp = ln_modulate_quant(txt, c_sh_mlp, c_sc_mlp,
+                                p["ff_context"]["in"],
+                                mode=cfg.fuse_mod_quant)
     txt = txt + c_g_mlp[:, None, :] * linear_gelu(
         p["ff_context"]["out"], linear(p["ff_context"]["in"], txt_mlp)
     )
@@ -254,7 +264,8 @@ def _single_block(
     b, s, d = x.shape
     h, hd = cfg.num_attention_heads, cfg.attention_head_dim
     shift, scale, gate = mod
-    x_mod = modulate(layer_norm(x, eps=1e-6), shift, scale)
+    x_mod = ln_modulate_quant(x, shift, scale, p["attn"]["to_q"],
+                              mode=cfg.fuse_mod_quant)
 
     # one shared activation quantization of x_mod across all four heads
     lq, lk, lv, mlp_h = linear_multi(
