@@ -37,9 +37,22 @@ timeout 7200 python bench.py >/tmp/bench_supervised.json 2>>"$LOG"
 echo "supervised bench rc=$? $(date)" >>"$LOG"
 cat /tmp/bench_supervised.json >>"$LOG"
 
-# focused experiment commands, one per argument (each run via bash -c)
+# focused experiment commands, one per argument (each run via bash -c).
+# Re-probe before each: a wedged tunnel would otherwise burn the full
+# per-command timeout hanging on the command's first TPU op.
 for cmd in "$@"; do
+  n=0
+  until probe; do
+    n=$((n + 1))
+    echo "pre-experiment probe $n failed $(date)" >>"$LOG"
+    if [ "$n" -ge "$MAX_PROBES" ]; then
+      echo "giving up on remaining experiments $(date)" >>"$LOG"
+      exit 1
+    fi
+    sleep "$INTERVAL"
+  done
   echo "experiment: $cmd $(date)" >>"$LOG"
-  timeout 3600 bash -c "$cmd" >>"$LOG" 2>&1
+  timeout "${GIE_WATCH_EXP_TIMEOUT:-3600}" bash -c "$cmd" >>"$LOG" 2>&1
   echo "experiment rc=$? $(date)" >>"$LOG"
 done
+echo "experiment queue drained $(date)" >>"$LOG"
