@@ -980,12 +980,15 @@ def _compose_e2e(res: dict) -> None:
             and res.get("t_vae_dec_s") is not None):
         res["t_other_s"] = (t_vlm_best + (res.get("t_t5_s") or 0.0)
                             + res["t_vae_enc_s"] + res["t_vae_dec_s"])
-    # worst-case bracket (VERDICT r4 #7): longest chat-bucket VLM prefill;
-    # the true-CFG 2x scan factor is applied on the scan side in _assemble
+    # worst-case bracket (VERDICT r4 #7): longest chat-bucket VLM prefill,
+    # plus a SECOND T5 encode for the true-CFG negative branch
+    # (ref:univa/serve/cli.py:231-243 builds negative embeds separately; the
+    # short text-only negative VLM pass is folded into the T5 double-count).
+    # The true-CFG 2x scan factor is applied on the scan side in _assemble.
     t_vlm_long = res.get("t_vlm_long_s")
     if (t_vlm_long is not None and res.get("t_vae_enc_s") is not None
             and res.get("t_vae_dec_s") is not None):
-        res["t_other_worst_s"] = (t_vlm_long + (res.get("t_t5_s") or 0.0)
+        res["t_other_worst_s"] = (t_vlm_long + 2.0 * (res.get("t_t5_s") or 0.0)
                                   + res["t_vae_enc_s"] + res["t_vae_dec_s"])
 
 
