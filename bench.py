@@ -515,9 +515,12 @@ def supervise() -> int:
     # before the first phase can hang or outlive the driver timeout
     emit_state()
 
-    # --- scan: always re-measure the W8A8 headline; skip rows the cache
-    # already covers (int8 variant, depth ladder) to fit the deadline ---
-    env_extra = {"GIE_BENCH_VARIANTS": "w8a8"}
+    # --- scan: always re-measure the headline (W8A8 + fused ln/mod/quant
+    # prologue — the measured-best mode); skip rows the cache already covers
+    # (plain W8A8, int8 variant, depth ladder) to fit the deadline ---
+    env_extra = {"GIE_BENCH_VARIANTS": "w8a8_fq"}
+    if "W8A8" not in cache["scan_measured"]:
+        env_extra["GIE_BENCH_VARIANTS"] += ",w8a8"
     if "int8 weight-only" not in cache["scan_measured"]:
         env_extra["GIE_BENCH_VARIANTS"] += ",int8"
     if len(cache["scan_rows"]) >= 2:
@@ -850,8 +853,10 @@ def phase_scan() -> dict:
         # more than the int8 QK dot saves; `--quantize w8a8-qk8` stays
         # opt-in for hardware with a wider int8:bf16 MXU ratio)
         variants = [
-            ("q_w8a8", "W8A8", "auto", True, 1, 1),   # headline mode FIRST:
-            # a phase timeout must never lose the best measured row
+            # headline mode FIRST: a phase timeout must never lose the best
+            # measured row (fused prologue A/B: 22.464s vs 22.801s plain)
+            ("q_w8a8", "W8A8 fused-quant", "auto", True, 1, 1),
+            ("q_w8a8", "W8A8", "auto", True, 1, 1),
             ("q", "int8 weight-only", "auto", True, 1, 1),
         ]
         if os.environ.get("GIE_BENCH_VARIANTS"):
