@@ -110,12 +110,15 @@ def main() -> int:
                  "--height", str(size), "--width", str(size)],
                 capture_output=True, text=True, timeout=5400, env=env,
             )
+            if lt.stderr.strip():
+                # per-request error details (client-side exceptions) only
+                # live on load_test's stderr — always keep them
+                log(f"load_test stderr: {lt.stderr.strip()[-600:]}")
             line = (lt.stdout.strip().splitlines() or ["{}"])[-1]
             try:
                 row = json.loads(line)
             except ValueError:
-                log(f"load_test output unparseable: {lt.stdout[-400:]} "
-                    f"stderr: {lt.stderr[-400:]}")
+                log(f"load_test output unparseable: {lt.stdout[-400:]}")
                 row = {"error": "unparseable", "rc": lt.returncode}
             row["max_batch"] = mb
             rows.append(row)
