@@ -381,10 +381,23 @@ class UnivaRuntime:
         (ref:train_denoiser.py:1458-1468, flux_pipeline true_cfg); the branch
         carries its own pad mask + rope length. Returns bf16
         (neg_embeds, neg_pooled, neg_txt_pad_mask), each batch-1."""
+        neg_embeds, neg_txt_pad_mask = self._neg_cond_prefill(negative_prompt)
+        self._offload_text_boundary(neg_embeds)
+        return self._neg_cond_text(
+            negative_prompt, neg_embeds, neg_txt_pad_mask
+        )
+
+    def _neg_cond_prefill(self, negative_prompt: str):
+        """VLM-prefill half of the negative branch (split for edit_batch's
+        one-VLM-stage pass; see _prep_edit_prefill)."""
         neg_convo = [{"from": "user", "value": negative_prompt}]
         neg_embeds, neg_kwargs = self._encode_prompt(neg_convo, [])
-        neg_txt_pad_mask = neg_kwargs["attention_mask"]
-        self._offload_text_boundary(neg_embeds)
+        return neg_embeds, neg_kwargs["attention_mask"]
+
+    def _neg_cond_text(self, negative_prompt: str, neg_embeds,
+                       neg_txt_pad_mask):
+        """T5/CLIP half of the negative branch; caller must have passed the
+        offload text boundary first."""
         neg_t5, neg_pooled = self._text_cond(negative_prompt)
         if neg_t5 is not None:
             neg_embeds = jnp.concatenate(
@@ -435,26 +448,32 @@ class UnivaRuntime:
         )
         return (h, w, tuple(buckets))
 
-    def _prep_edit(
+    def _prep_edit_prefill(self, instruction: str, image=None):
+        """VLM-prefill half of _prep_edit: LVLM embeds + pad mask for one
+        request. Split out so edit_batch can run EVERY prefill while the VLM
+        is staged ONCE (offload: re-staging the int8 VLM per request with T5
+        still resident OOM'd one 16GB chip — observed RESOURCE_EXHAUSTED in
+        the ViT scan at max_batch=2, SERVING bench 2026-08-19)."""
+        images = self._as_image_list(image)
+        value = "<image>" * len(images) + instruction
+        conversation = [{"from": "user", "value": value}]
+        embeds, enc_kwargs = self._encode_prompt(conversation, images)
+        return images, embeds, enc_kwargs["attention_mask"]
+
+    def _prep_edit_text(
         self,
         instruction: str,
-        image=None,
+        images,
+        embeds,
+        txt_pad_mask,
         *,
         height: Optional[int] = None,
         width: Optional[int] = None,
         seed: Optional[int] = None,
     ) -> dict:
-        """Per-request host + VLM-prefill prep shared by edit()/edit_batch():
-        LVLM embeds (+T5 suffix), pad mask, pooled row, per-ref VAE-ready
-        cond pixels, resolved output size, and the sample rng."""
-        images = self._as_image_list(image)
-        value = "<image>" * len(images) + instruction
-        conversation = [{"from": "user", "value": value}]
-        embeds, enc_kwargs = self._encode_prompt(conversation, images)
-        txt_pad_mask = enc_kwargs["attention_mask"]
-        self._offload_text_boundary(embeds)
-
-        # real CLIP pooled row + optional T5 suffix (ref:cli.py:220-233)
+        """Text-encoder half of _prep_edit (T5 suffix + CLIP pooled row,
+        ref:cli.py:220-233) plus host-side cond/shape/rng prep. Caller must
+        have passed the offload text boundary (VLM evicted) first."""
         t5_embeds, pooled = self._text_cond(instruction)
         if t5_embeds is not None:
             embeds = jnp.concatenate(
@@ -488,6 +507,27 @@ class UnivaRuntime:
             "rng": sample_rng,
         }
 
+    def _prep_edit(
+        self,
+        instruction: str,
+        image=None,
+        *,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        seed: Optional[int] = None,
+    ) -> dict:
+        """Per-request host + VLM-prefill prep shared by edit()/chat paths:
+        LVLM embeds (+T5 suffix), pad mask, pooled row, per-ref VAE-ready
+        cond pixels, resolved output size, and the sample rng."""
+        images, embeds, txt_pad_mask = self._prep_edit_prefill(
+            instruction, image
+        )
+        self._offload_text_boundary(embeds)
+        return self._prep_edit_text(
+            instruction, images, embeds, txt_pad_mask,
+            height=height, width=width, seed=seed,
+        )
+
     # ------------------------------------------------------------------
     def edit(
         self,
@@ -504,13 +544,30 @@ class UnivaRuntime:
         step_callback=None,  # host fn(step_idx): UI progress (ref:app.py:308-313)
         num_images_per_prompt: int = 1,  # batched sampling (ref:app.py:318-325)
     ):
-        prep = self._prep_edit(
-            instruction, image, height=height, width=width, seed=seed
+        # both VLM prefills (positive + negative) run while the VLM is
+        # staged once, THEN the text boundary evicts it before T5 stages —
+        # _neg_cond after _prep_edit would re-stage the 8.3GB int8 VLM with
+        # the 5GB int8 T5 still resident (offload OOM hazard + a pointless
+        # host->HBM transfer per true-CFG edit)
+        images, embeds, txt_pad_mask = self._prep_edit_prefill(
+            instruction, image
+        )
+        neg_prefill = None
+        if true_cfg_scale > 1.0:
+            neg_prefill = self._neg_cond_prefill(negative_prompt)
+            if self.offload:
+                from gpt_image_edit_tpu.utils.offload import sync as _sync
+
+                _sync(neg_prefill[0])
+        self._offload_text_boundary(embeds)
+        prep = self._prep_edit_text(
+            instruction, images, embeds, txt_pad_mask,
+            height=height, width=width, seed=seed,
         )
         neg_embeds = neg_pooled = neg_txt_pad_mask = None
-        if true_cfg_scale > 1.0:
-            neg_embeds, neg_pooled, neg_txt_pad_mask = self._neg_cond(
-                negative_prompt
+        if neg_prefill is not None:
+            neg_embeds, neg_pooled, neg_txt_pad_mask = self._neg_cond_text(
+                negative_prompt, neg_prefill[0], neg_prefill[1]
             )
         conds = prep["conds"]
         cond = None if not conds else (conds if len(conds) > 1 else conds[0])
@@ -600,13 +657,31 @@ class UnivaRuntime:
             raise ValueError("edit_batch requires matching reference buckets")
         height, width = shapes[0][0], shapes[0][1]
 
+        # prefill pass: EVERY VLM forward (positives + the shared negative)
+        # runs while the VLM is staged ONCE; then one text boundary (sync +
+        # evict the VLM) and the T5/CLIP pass with T5 staged once. The old
+        # per-request _prep_edit loop re-staged the int8 VLM with T5 still
+        # resident and OOM'd one 16GB chip (max_batch=2 serving bench).
+        prefills = [
+            self._prep_edit_prefill(r["instruction"], r.get("image"))
+            for r in reqs
+        ]
+        neg_prefill = None
+        if true_cfg_scale > 1.0:
+            neg_prefill = self._neg_cond_prefill(negative_prompt)
+        if neg_prefill is not None and self.offload:
+            from gpt_image_edit_tpu.utils.offload import sync as _sync
+
+            _sync(neg_prefill[0])
+        self._offload_text_boundary(prefills[-1][1])
+
         preps = [
-            self._prep_edit(
-                r["instruction"], r.get("image"),
+            self._prep_edit_text(
+                r["instruction"], images, embeds, mask,
                 height=r.get("height"), width=r.get("width"),
                 seed=r.get("seed"),
             )
-            for r in reqs
+            for r, (images, embeds, mask) in zip(reqs, prefills)
         ]
 
         # shared text bucket: zero rows + zero pad-mask are attention-inert
@@ -644,16 +719,20 @@ class UnivaRuntime:
 
         neg_embeds = neg_pooled = neg_txt_pad_mask = None
         total = len(reqs) * n
-        if true_cfg_scale > 1.0:
-            # one VLM prefill for the shared negative prompt, tiled to B
-            ne, np_, nm = self._neg_cond(negative_prompt)
+        if neg_prefill is not None:
+            # one VLM prefill for the shared negative prompt (done in the
+            # prefill pass above), tiled to B
+            ne, np_, nm = self._neg_cond_text(
+                negative_prompt, neg_prefill[0], neg_prefill[1]
+            )
             neg_embeds = jnp.repeat(ne, total, axis=0)
             neg_pooled = jnp.repeat(np_, total, axis=0)
             neg_txt_pad_mask = jnp.repeat(nm, total, axis=0)
 
-        # offload: VLM prefills are done — barrier on their outputs and
-        # free the VLM HBM copy BEFORE the ref encodes stage the VAE
-        # (one-component peak); harmless no-ops when offload is off
+        # offload: text pass done — barrier on its outputs and drop the
+        # text-encoder HBM copies (the VLM is already gone since the text
+        # boundary) BEFORE the ref encodes stage the VAE (one-component
+        # peak); harmless no-ops when offload is off
         if self.offload:
             from gpt_image_edit_tpu.utils.offload import sync as _sync
 
