@@ -70,15 +70,22 @@ def ln_modulate_quant_rows(
         raise ValueError(f"unaligned ({s_len}, {d}) for fused quant")
     nrows = s_len // block_rows
 
+    # shift/scale carry a singleton row axis so their block's LAST TWO dims
+    # (1, d) equal the array dims for any B — a 2-D (B, d) layout with block
+    # (1, d) fails Mosaic's divisible-by-(8,128)-or-full rule whenever B > 1
+    # (observed: batch-2 coalesced serving rejected the whole batched scan)
+    shift3 = shift[:, None, :]
+    scale3 = scale[:, None, :]
+
     qx, s_pad = pl.pallas_call(
         functools.partial(_kernel, eps=eps),
         grid=(b, nrows),
         in_specs=[
             pl.BlockSpec((1, block_rows, d), lambda ib, ir: (ib, ir, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda ib, ir: (ib, 0),
+            pl.BlockSpec((1, 1, d), lambda ib, ir: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda ib, ir: (ib, 0),
+            pl.BlockSpec((1, 1, d), lambda ib, ir: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -95,5 +102,5 @@ def ln_modulate_quant_rows(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(x, shift, scale)
+    )(x, shift3, scale3)
     return qx, s_pad[..., :1]

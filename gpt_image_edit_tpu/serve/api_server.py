@@ -260,6 +260,13 @@ class RuntimeExecutor:
                 # shape-incompatible despite the signature gate (custom
                 # signature fn, duck-typed runtime): degrade to serial
                 log.warning("edit_batch rejected batch (%s); running serially", e)
+                # a mid-pipeline reject (e.g. lowering failure inside the
+                # batched scan) can leave offloaded components staged; the
+                # serial retry must start from an empty-HBM baseline or the
+                # VLM re-stage OOMs against the resident FLUX weights
+                reset = getattr(self.runtime, "reset_staging", None)
+                if reset is not None:
+                    reset()
 
         items: List[Any] = []
         for j in jobs:

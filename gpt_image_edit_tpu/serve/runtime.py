@@ -323,6 +323,21 @@ class UnivaRuntime:
         if evict is not None:
             evict()
 
+    def reset_staging(self) -> None:
+        """Recovery hook for batch-executor fallback: drop EVERY staged HBM
+        copy (offload mode). A batched scan that fails at trace/lowering
+        time leaves FLUX staged with the VLM already evicted; re-running
+        the requests serially then re-stages the VLM on top of the resident
+        FLUX weights and OOMs one 16GB chip (observed in the max_batch=2
+        serving bench: a Pallas lowering reject poisoned the whole process
+        via the follow-up RESOURCE_EXHAUSTED). No-op when offload is off."""
+        if not self.offload:
+            return
+        self._store.evict_all()
+        evict = getattr(self.text_encoders, "evict", None)
+        if evict is not None:
+            evict()
+
     def _offload_text_boundary(self, embeds) -> None:
         """offload: the int8 VLM (~8.3GB incl. its bf16 embed table) plus
         the int8 T5-XXL (~5GB) exceed one 16GB chip once ViT/prefill

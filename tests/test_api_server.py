@@ -621,6 +621,38 @@ class TestExecutorSerialFallback:
         out = ex(jobs)
         assert len(out) == 2 and len(rt.edit_calls) == 2  # ran serially
 
+    def test_reject_resets_staging_before_serial_retry(self):
+        """A mid-pipeline reject can leave offloaded components staged
+        (FLUX resident, VLM evicted); the serial retry must start from an
+        empty-HBM baseline or the VLM re-stage OOMs (observed on one 16GB
+        chip in the max_batch=2 serving bench)."""
+        from gpt_image_edit_tpu.serve.scheduler import Job
+
+        order = []
+
+        class StagedRuntime(StubRuntime):
+            def edit_batch(self, reqs):
+                order.append("batch")
+                raise ValueError("lowering failed mid-pipeline")
+
+            def reset_staging(self):
+                order.append("reset")
+
+            def edit(self, **kw):
+                order.append("edit")
+                return super().edit(**kw)
+
+        ex = RuntimeExecutor(StagedRuntime())
+        jobs = [
+            Job(request={"kind": "edit",
+                         "body": {"instruction": f"p{i}", "images": []}},
+                signature="s")
+            for i in range(2)
+        ]
+        out = ex(jobs)
+        assert len(out) == 2
+        assert order == ["batch", "reset", "edit", "edit"]
+
 
 # ---------------------------------------------------------------------------
 # client SDK over the stub server
