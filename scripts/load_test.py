@@ -43,11 +43,15 @@ def main(argv=None) -> int:
     from gpt_image_edit_tpu.serve.client import ApiClient
 
     client = ApiClient(args.url, timeout=args.timeout)
-    images = []
+    # Read the conditioning image ONCE as bytes; each request decodes its
+    # own PIL Image from them. A single shared Image.open(...) raced under
+    # --concurrency>1 (PIL lazy decode + encode are not thread-safe):
+    # observed "broken data stream when reading image file" on exactly the
+    # first concurrent pair of requests in the r05 serving bench.
+    img_bytes = None
     if args.image:
-        from PIL import Image
-
-        images = [Image.open(args.image)]
+        with open(args.image, "rb") as f:
+            img_bytes = f.read()
 
     latencies, errors = [], []
     lock = threading.Lock()
@@ -61,6 +65,13 @@ def main(argv=None) -> int:
                 return
             t0 = time.perf_counter()
             try:
+                images = []
+                if img_bytes is not None:
+                    import io
+
+                    from PIL import Image
+
+                    images = [Image.open(io.BytesIO(img_bytes))]
                 kw = {}
                 if args.height is not None:
                     kw["height"] = args.height

@@ -100,7 +100,7 @@ def main() -> int:
                 rows.append({"max_batch": mb, "error": "warmup timeout"})
                 continue
             log(f"max_batch={mb}: healthy; load test "
-                f"({args.requests} reqs, conc {max(mb, 1)})")
+                f"({args.requests} reqs, conc {max(mb, 2)})")
             lt = subprocess.run(
                 [sys.executable, os.path.join(REPO, "scripts/load_test.py"),
                  "--url", f"http://127.0.0.1:{args.port}",
