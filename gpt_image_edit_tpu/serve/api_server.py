@@ -449,12 +449,18 @@ def _make_handler(
             if self.path == "/healthz":
                 import jax
 
+                # a latched device fault (TPU worker crash / axon client
+                # poisoned by RESOURCE_EXHAUSTED) is unrecoverable
+                # in-process: answer 503 so the orchestrator's liveness
+                # probe restarts this replica
+                fault = scheduler.device_fault
                 self._send_json(
-                    200,
+                    503 if fault else 200,
                     {
-                        "status": "ok",
+                        "status": "device_fault" if fault else "ok",
                         "backend": jax.default_backend(),
                         "queue_depth": scheduler.queue_depth,
+                        **({"device_fault": fault} if fault else {}),
                     },
                 )
             elif self.path == "/v1/stats":
@@ -463,11 +469,14 @@ def _make_handler(
                 self._send_json(200, scheduler.stats())
             elif self.path == "/metrics":
                 st = scheduler.stats()
+                # prometheus values must be numeric: export the fault as a
+                # 0/1 gauge (the message itself lives in /healthz and /v1/stats)
+                st["device_fault"] = int(st.get("device_fault") is not None)
                 lines = []
                 for key, val in sorted(st.items()):
                     name = f"gie_{key}"
                     kind = "gauge" if key in (
-                        "queue_depth", "max_batch",
+                        "queue_depth", "max_batch", "device_fault",
                         "latency_p50_s", "latency_p95_s",
                     ) else "counter"
                     lines.append(f"# TYPE {name} {kind}")

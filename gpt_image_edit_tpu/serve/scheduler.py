@@ -40,6 +40,21 @@ class QueueFullError(RuntimeError):
     """Raised by submit() when the admission queue is at capacity."""
 
 
+# Error texts that mean the process's device client is POISONED, not that
+# one request failed: a TPU worker crash (observed: a batch-2 denoise scan
+# killed the worker, serving bench 2026-08-20) leaves every subsequent
+# device op raising UNAVAILABLE, and on the axon backend one
+# RESOURCE_EXHAUSTED poisons the client for the rest of the process (even
+# eval_shape constants fail; clear_caches+gc don't recover). Nothing
+# in-process fixes either — the replica must be restarted, so the
+# scheduler latches `device_fault` and /healthz flips to 503 for the
+# orchestrator's liveness probe.
+_DEVICE_FATAL_MARKERS = (
+    "worker process crashed or restarted",
+    "RESOURCE_EXHAUSTED",
+)
+
+
 class SchedulerClosedError(RuntimeError):
     """Raised when submitting to (or draining from) a shut-down scheduler."""
 
@@ -148,6 +163,7 @@ class DeviceScheduler:
         self._lock = threading.Lock()
         self._wakeup = threading.Condition(self._lock)
         self._closed = False
+        self._device_fault: Optional[str] = None
 
         # stats (guarded by _lock)
         self._served = 0
@@ -219,6 +235,20 @@ class DeviceScheduler:
         with self._lock:
             return len(self._queue)
 
+    @property
+    def device_fault(self) -> Optional[str]:
+        """Non-None once an executor error marked the device client as
+        unrecoverable for this process (see _DEVICE_FATAL_MARKERS)."""
+        with self._lock:
+            return self._device_fault
+
+    def _note_fault_if_fatal(self, err: BaseException) -> None:
+        msg = f"{type(err).__name__}: {err}"
+        if any(m in msg for m in _DEVICE_FATAL_MARKERS):
+            with self._lock:
+                if self._device_fault is None:
+                    self._device_fault = msg[:500]
+
     def stats(self) -> dict:
         with self._lock:
             lat = sorted(self._latencies)
@@ -232,6 +262,7 @@ class DeviceScheduler:
                 "max_batch": self.max_batch,
                 "latency_p50_s": _percentile(lat, 0.50),
                 "latency_p95_s": _percentile(lat, 0.95),
+                "device_fault": self._device_fault,
             }
 
     # ------------------------------------------------------------------
@@ -310,6 +341,7 @@ class DeviceScheduler:
                     self._batches += 1
                 for j, item in zip(batch, e.items):
                     if isinstance(item, BaseException):
+                        self._note_fault_if_fatal(item)
                         j.set_error(item)
                         with self._lock:
                             self._failed += 1
@@ -318,6 +350,7 @@ class DeviceScheduler:
                         self._note_served(j)
                 continue
             except BaseException as e:  # noqa: BLE001 — delivered to callers
+                self._note_fault_if_fatal(e)
                 with self._lock:
                     self._batches += 1
                     self._failed += len(batch)

@@ -1064,3 +1064,71 @@ class TestTinyRuntimeIntegration:
         steps = [d["step"] for e, d in events if e == "step"]
         assert steps == [0, 1]
         assert events[-1][0] == "result" and events[-1][1]["images"]
+
+
+# ---------------------------------------------------------------------------
+# device-fault latching: a poisoned JAX client must flip /healthz to 503
+# (a TPU worker crash or an axon RESOURCE_EXHAUSTED is unrecoverable
+# in-process — the orchestrator has to restart the replica; observed in the
+# max_batch=2 serving bench, 2026-08-20)
+# ---------------------------------------------------------------------------
+class TestDeviceFault:
+    def test_fatal_marker_latches_scheduler(self):
+        def ex(jobs):
+            raise RuntimeError(
+                "UNAVAILABLE: TPU worker process crashed or restarted. "
+                "This can be caused by a kernel fault."
+            )
+
+        s = DeviceScheduler(ex)
+        try:
+            with pytest.raises(RuntimeError, match="worker process crashed"):
+                s.submit(1).result(5)
+            assert "worker process crashed" in s.device_fault
+            assert "worker process crashed" in s.stats()["device_fault"]
+        finally:
+            s.shutdown()
+
+    def test_ordinary_error_does_not_latch(self):
+        def ex(jobs):
+            raise ValueError("one bad request")
+
+        s = DeviceScheduler(ex)
+        try:
+            with pytest.raises(ValueError):
+                s.submit(1).result(5)
+            assert s.device_fault is None
+        finally:
+            s.shutdown()
+
+    def test_healthz_flips_to_503(self):
+        class CrashRuntime(StubRuntime):
+            def edit(self, instruction, image=None, **kw):
+                raise RuntimeError(
+                    "UNAVAILABLE: TPU worker process crashed or restarted."
+                )
+
+        server = ApiServer(CrashRuntime(), "127.0.0.1", 0)
+        server.start()
+        try:
+            host, port = server.address[:2]
+            base = f"http://{host}:{port}"
+            status, body = _request(f"{base}/healthz")
+            assert status == 200 and body["status"] == "ok"
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _request(f"{base}/v1/edit",
+                         {"instruction": "x", "image": _png_b64()})
+            assert ei.value.code == 500
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _request(f"{base}/healthz")
+            assert ei.value.code == 503
+            body = json.loads(ei.value.read())
+            assert body["status"] == "device_fault"
+            assert "worker process crashed" in body["device_fault"]
+            # metrics export the fault as a 0/1 gauge
+            req = urllib.request.Request(f"{base}/metrics")
+            with urllib.request.urlopen(req, timeout=30) as r:
+                text = r.read().decode()
+            assert "gie_device_fault 1" in text
+        finally:
+            server.shutdown()
