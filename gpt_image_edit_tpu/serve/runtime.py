@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -634,6 +635,18 @@ class UnivaRuntime:
             return []
         if len(reqs) == 1:
             return [self.edit(**reqs[0])]
+        if self.offload and os.environ.get("GIE_OFFLOAD_COALESCE", "") != "1":
+            # measured on one 16GB v5e (serving bench 2026-08-20): the
+            # coalesced B=2 1024^2 scan with the 12GB int8 FLUX resident
+            # crashes the TPU worker outright (whole-program HBM pressure;
+            # the kernels pass standalone), and scan-level bs=2 is 18%
+            # worse per image anyway — raise so serve.api_server's
+            # executor degrades this batch to serial execution instead
+            raise ValueError(
+                "coalesced batches are disabled under --offload "
+                "(single-chip memory cycling): measured worker crash at "
+                "batch 2; set GIE_OFFLOAD_COALESCE=1 to re-enable"
+            )
 
         def _static(r):
             true_cfg = float(r.get("true_cfg_scale", 1.0))

@@ -1132,3 +1132,42 @@ class TestDeviceFault:
             assert "gie_device_fault 1" in text
         finally:
             server.shutdown()
+
+
+class TestOffloadCoalesceGuard:
+    """Under --offload on a single chip, coalesced batches crash the TPU
+    worker (measured: B=2 1024^2 scan, serving bench 2026-08-20) and bs=2
+    is 18% worse per image — edit_batch must reject multi-request groups
+    with ValueError so the executor's serial fallback handles them."""
+
+    class _Stub:
+        offload = True
+
+        def edit(self, **kw):
+            return f"solo:{kw['instruction']}"
+
+    def test_rejects_multi_request_batch_under_offload(self, monkeypatch):
+        from gpt_image_edit_tpu.serve.runtime import UnivaRuntime
+
+        monkeypatch.delenv("GIE_OFFLOAD_COALESCE", raising=False)
+        stub = self._Stub()
+        reqs = [{"instruction": "a"}, {"instruction": "b"}]
+        with pytest.raises(ValueError, match="coalesced batches"):
+            UnivaRuntime.edit_batch(stub, reqs)
+        # single-request groups still take the solo path
+        assert UnivaRuntime.edit_batch(stub, reqs[:1]) == ["solo:a"]
+
+    def test_env_reenables_for_experiments(self, monkeypatch):
+        from gpt_image_edit_tpu.serve.runtime import UnivaRuntime
+
+        monkeypatch.setenv("GIE_OFFLOAD_COALESCE", "1")
+        stub = self._Stub()
+        # past the guard, a duck-typed stub fails later (no _static fields
+        # needed: identical empty statics), proving the guard is bypassed
+        reqs = [{"instruction": "a"}, {"instruction": "b"}]
+        try:
+            UnivaRuntime.edit_batch(stub, reqs)
+        except ValueError as e:  # pragma: no cover - must not be the guard
+            assert "coalesced batches" not in str(e)
+        except AttributeError:
+            pass  # reached the real batching code on a stub — guard bypassed
