@@ -90,9 +90,12 @@ def dot_product_attention(
 
     if impl == "ring":
         # context parallelism: sequence dim sharded over the mesh 'sequence'
-        # axis, K/V rotate via ppermute (ops/ring_attention.py). Partial-
-        # manual shard_map — batch/head dims and all params stay under
-        # GSPMD. Requires an ambient mesh with a 'sequence' axis (use
+        # axis, K/V rotate via ppermute (ops/ring_attention.py). jnp hops
+        # run under a partial-manual shard_map (batch/head dims and all
+        # params stay under GSPMD); Pallas flash hops switch to a
+        # full-manual shard_map — Mosaic custom calls cannot lower inside a
+        # partial-manual region (measured on-chip, scripts/check_ring_tpu).
+        # Requires an ambient mesh with a 'sequence' axis (use
         # jax.sharding.set_mesh or pass shardings through jit).
         from gpt_image_edit_tpu.ops.ring_attention import (
             context_parallel_attention,

@@ -250,6 +250,21 @@ def ring_attention(
     return out
 
 
+def _mesh_axis_sizes(mesh: Optional[Mesh]) -> dict:
+    """Axis-name -> size for `mesh`, or the ambient (abstract) mesh when
+    mesh is None — the same resolution shard_map itself performs."""
+    if mesh is not None:
+        return dict(mesh.shape)
+    am = jax.sharding.get_abstract_mesh()
+    if am is None or not am.shape:  # pragma: no cover - defensive
+        raise ValueError(
+            "context_parallel_attention needs a mesh: pass mesh= or call "
+            "under jax.sharding.set_mesh / inside a jit whose arguments "
+            "carry NamedShardings"
+        )
+    return dict(am.shape)
+
+
 def context_parallel_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -262,27 +277,97 @@ def context_parallel_attention(
     scale: Optional[float] = None,
     block_kv: int = 512,
     hop_impl: str = "jnp",
+    batch_axes: tuple = ("data", "fsdp"),
+    head_axes: tuple = ("tensor",),
     _flash_interpret: bool = False,
 ) -> jnp.ndarray:
     """Globally-shaped convenience wrapper: shards the sequence dim of BSHD
     q/k/v over `axis_name`, runs ring_attention, returns the global output
     (sharded the same way). Sq and Skv must divide the axis size.
 
-    PARTIAL-MANUAL shard_map (`axis_names={axis_name}`): only the sequence
-    axis goes manual; batch/head dims and every surrounding computation
-    (parameter shardings, data parallelism) stay under GSPMD. This is what
-    lets `dot_product_attention(impl="ring")` drop into the middle of the
-    jitted FLUX train step. With ``mesh=None`` the ambient mesh is used —
-    call under ``jax.sharding.set_mesh(mesh)`` (or inside a jit whose
-    arguments carry NamedShardings of that mesh)."""
+    Two shard_map modes, picked by the hop implementation:
+
+    - jnp hops: PARTIAL-MANUAL (`axis_names={axis_name}`) — only the
+      sequence axis goes manual; batch/head dims and every surrounding
+      computation (parameter shardings, data parallelism) stay under GSPMD.
+      This is what lets `dot_product_attention(impl="ring")` drop into the
+      middle of the jitted FLUX train step.
+    - flash (Pallas) hops: FULL-MANUAL over every mesh axis, because a
+      Mosaic custom call inside a partial-manual region fails to lower on
+      real TPU ("Mosaic kernels cannot be automatically partitioned" —
+      measured on-chip, scripts/check_ring_tpu.py; the CPU interpreter has
+      the mirror-image restriction, see tests/test_ring_attention.py). The
+      batch dim shards over `batch_axes` and the head dim over `head_axes`
+      (each filtered to axes present in the mesh whose product divides the
+      dim — matching the repo's activation conventions: batch over
+      (data, fsdp), attention heads over tensor via the qkv projection's
+      P(fsdp, tensor) kernels). If the caller's actual layout differs,
+      GSPMD inserts the reshard — correctness never depends on the hint.
+      check_vma=False, as everywhere this repo composes pallas_call with
+      full-manual shard_map.
+
+    `hop_impl="auto"` resolves HERE (flash on TPU / interpret tests when
+    non-causal and the per-shard 128-alignment padding is <=25%) so the
+    shard_map mode can follow the decision. With ``mesh=None`` the ambient
+    mesh is used — call under ``jax.sharding.set_mesh(mesh)`` (or inside a
+    jit whose arguments carry NamedShardings of that mesh)."""
+    b, sq, hq, _ = q.shape
+    _, skv, hkv, _ = k.shape
+
+    assert hop_impl in ("jnp", "flash", "auto"), hop_impl
+    if hop_impl != "jnp":
+        # mesh resolution is needed only to size the per-shard flash plan;
+        # the jnp path keeps the old behavior (shard_map resolves the
+        # ambient mesh itself)
+        axes = _mesh_axis_sizes(mesh)
+        seq_n = axes[axis_name]
+        assert sq % seq_n == 0 and skv % seq_n == 0, (
+            f"sequence dims ({sq}, {skv}) must divide the '{axis_name}' "
+            f"axis ({seq_n})"
+        )
+        plan = _FlashPlan(sq // seq_n, skv // seq_n, block_kv) \
+            if not causal else None
+        if hop_impl == "flash":
+            assert plan is not None, "hop_impl='flash' needs non-causal"
+            use_flash = True
+        else:
+            use_flash = (
+                plan is not None
+                and plan.pad_ratio(sq // seq_n, skv // seq_n) <= 1.25
+                and (_flash_interpret or jax.default_backend() == "tpu")
+            )
+    else:
+        use_flash = False
+
     fn = functools.partial(
         ring_attention, axis_name=axis_name, causal=causal, scale=scale,
-        block_kv=block_kv, hop_impl=hop_impl,
+        block_kv=block_kv, hop_impl="flash" if use_flash else "jnp",
         _flash_interpret=_flash_interpret,
     )
-    qspec = P(None, axis_name, None, None)
-    mspec = P(None, axis_name)
-    kw = dict(out_specs=qspec, axis_names=frozenset({axis_name}))
+
+    if use_flash:
+        def _fit(cands, dim):
+            picked = tuple(a for a in cands if axes.get(a, 1) > 1)
+            while picked:
+                n = 1
+                for a in picked:
+                    n *= axes[a]
+                if dim % n == 0:
+                    return picked
+                picked = picked[:-1]
+            return ()
+
+        b_ax = _fit(batch_axes, b)
+        h_ax = _fit(head_axes, hq)
+        if h_ax and any(hkv % axes[a] for a in h_ax):
+            h_ax = ()  # GQA: shard heads only when K/V heads split too
+        qspec = P(b_ax or None, axis_name, h_ax or None, None)
+        mspec = P(b_ax or None, axis_name)
+        kw = dict(out_specs=qspec, check_vma=False)
+    else:
+        qspec = P(None, axis_name, None, None)
+        mspec = P(None, axis_name)
+        kw = dict(out_specs=qspec, axis_names=frozenset({axis_name}))
     if mesh is not None:
         kw["mesh"] = mesh
 

@@ -466,7 +466,11 @@ def _make_handler(
             elif self.path == "/v1/stats":
                 if not self._authorized():
                     return
-                self._send_json(200, scheduler.stats())
+                st = scheduler.stats()
+                timings = getattr(runtime, "stage_timings", None)
+                if timings is not None:
+                    st["stage_timings"] = timings()
+                self._send_json(200, st)
             elif self.path == "/metrics":
                 st = scheduler.stats()
                 # prometheus values must be numeric: export the fault as a

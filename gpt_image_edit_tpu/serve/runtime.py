@@ -339,6 +339,25 @@ class UnivaRuntime:
         if evict is not None:
             evict()
 
+    def stage_timings(self) -> dict:
+        """Cumulative host->HBM staging wall time per offloaded component
+        (merges the runtime store — vlm/t5/clip — with the pipeline's
+        flux/vae store). The serving-latency breakdown tool: SERVING_r05
+        measured ~18s/request of non-scan overhead; these counters say how
+        much of it is pinned-host restaging traffic."""
+        out: dict = {}
+        stores = [self._store]
+        pipe_store = getattr(getattr(self, "pipe", None), "_store", None)
+        if pipe_store is not None:
+            stores.append(pipe_store)
+        for st in stores:
+            for name, sec in getattr(st, "stage_seconds", {}).items():
+                out[name] = {
+                    "s": round(sec, 3),
+                    "n": st.stage_counts.get(name, 0),
+                }
+        return out
+
     def _offload_text_boundary(self, embeds) -> None:
         """offload: the int8 VLM (~8.3GB incl. its bf16 embed table) plus
         the int8 T5-XXL (~5GB) exceed one 16GB chip once ViT/prefill

@@ -10,6 +10,7 @@ encoders) and the Kontext pipeline (FLUX, VAE).
 
 from __future__ import annotations
 
+import time
 from typing import Any, Dict
 
 import jax
@@ -49,6 +50,11 @@ class ComponentStore:
         self._dev = device_sharding(device) if enabled else None
         self._masters: Dict[str, Any] = {}
         self._staged: Dict[str, Any] = {}
+        # cumulative host->HBM staging wall time + event count per
+        # component (the serving-latency breakdown: SERVING_r05 measured
+        # ~18s/request of non-scan overhead; this attributes it)
+        self.stage_seconds: Dict[str, float] = {}
+        self.stage_counts: Dict[str, int] = {}
 
     def add(self, name: str, tree):
         """Park `tree` in pinned_host (returns the parked tree; when the
@@ -67,7 +73,20 @@ class ComponentStore:
         if not self.enabled:
             return self._masters[name]
         if name not in self._staged:
-            self._staged[name] = jax.device_put(self._masters[name], self._dev)
+            t0 = time.perf_counter()
+            staged = jax.device_put(self._masters[name], self._dev)
+            # barrier on the transfer (first+last leaf: axon's
+            # block_until_ready is a no-op; scalar fetch is the sync idiom)
+            # so the recorded time is the transfer, not dispatch
+            leaves = jax.tree_util.tree_leaves(staged)
+            if leaves:
+                for leaf in (leaves[0], leaves[-1]):
+                    float(jnp.sum(leaf.reshape(-1)[:1].astype(jnp.float32)))
+            self.stage_seconds[name] = (
+                self.stage_seconds.get(name, 0.0) + time.perf_counter() - t0
+            )
+            self.stage_counts[name] = self.stage_counts.get(name, 0) + 1
+            self._staged[name] = staged
         return self._staged[name]
 
     def evict(self, name: str) -> None:

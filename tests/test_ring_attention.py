@@ -433,6 +433,49 @@ class TestRingFlashHops:
             np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                        atol=3e-5)
 
+    def test_flash_hops_multi_axis_mesh(self):
+        """Flash hops on a mesh with REAL size>1 data/tensor axes: the
+        full-manual shard_map shards batch over `data` and heads over
+        `tensor` (the Mosaic-legal composition — a Mosaic kernel inside a
+        partial-manual region fails to lower on TPU even when the other
+        axes are size 1, measured on-chip via scripts/check_ring_tpu.py)."""
+        mesh = build_mesh(shape=(2, 1, 2, 2))
+        b, s, h, d = 2, 256, 4, 16  # 128/shard: Mosaic-aligned, no padding
+        q, k, v = (_rand((b, s, h, d), i + 120) for i in range(3))
+        ref = dot_product_attention(q, k, v, impl="xla")
+        out = context_parallel_attention(
+            q, k, v, mesh=mesh, hop_impl="flash", _flash_interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+        g_ring = jax.grad(
+            lambda q: jnp.sum(context_parallel_attention(
+                q, k, v, mesh=mesh, hop_impl="flash",
+                _flash_interpret=True,
+            ) ** 2)
+        )(q)
+        g_ref = jax.grad(
+            lambda q: jnp.sum(
+                dot_product_attention(q, k, v, impl="xla") ** 2
+            )
+        )(q)
+        np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_ref),
+                                   atol=3e-5)
+
+    def test_flash_hops_gqa_heads_stay_unsharded(self):
+        """GQA where Hkv doesn't divide the tensor axis: the head-axis hint
+        must drop (heads replicated) instead of mis-sharding K/V heads."""
+        mesh = build_mesh(shape=(1, 1, 4, 2))
+        b, s, hq, hkv, d = 1, 256, 4, 2, 16
+        q = _rand((b, s, hq, d), 130)
+        k, v = (_rand((b, s, hkv, d), 131 + i) for i in range(2))
+        ref = dot_product_attention(q, k, v, impl="xla")
+        out = context_parallel_attention(
+            q, k, v, mesh=mesh, hop_impl="flash", _flash_interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
     @pytest.mark.skipif(
         jax.default_backend() != "tpu",
         reason="pallas-under-shard_map composition needs real TPU lowering",
