@@ -110,7 +110,8 @@ class UnivaRuntime:
                 lambda k: init_qwen(k, self.qcfg), jax.random.key(0)
             )
             self.qwen_params = quantized_shape_params(
-                qabs, qkey="q_w8a8" if vlm_mode == "w8a8" else "q",
+                qabs,
+                qkey={"w8a8": "q_w8a8", "int4": "q4"}.get(vlm_mode, "q"),
                 float_dtype=jnp.bfloat16, place=place,
             )
             fabs = jax.eval_shape(
@@ -234,14 +235,21 @@ class UnivaRuntime:
             # e2e path (same dynamic per-row activation quant as FLUX W8A8).
             from gpt_image_edit_tpu.utils.quantize import quantize_params
 
-            vlm_mode = "w8a8" if quantize_vlm == "w8a8" else "weight_only"
-            if quantize_vlm not in (True, "int8", "w8a8"):
+            # quantize_vlm="int4" -> 4-bit weight-only (group-64 scales):
+            # halves the staged bytes vs int8 (~8.3GB -> ~4.6GB incl. the
+            # bf16 embed table) — the offload lever, since staging traffic
+            # dominates the non-scan serving overhead, at bf16-activation
+            # prefill compute (no int8 MXU).
+            vlm_mode = {"w8a8": "w8a8", "int4": "int4"}.get(
+                quantize_vlm, "weight_only"
+            )
+            if quantize_vlm not in (True, "int8", "w8a8", "int4"):
                 raise ValueError(
-                    f"quantize_vlm must be True | 'int8' | 'w8a8', "
+                    f"quantize_vlm must be True | 'int8' | 'w8a8' | 'int4', "
                     f"got {quantize_vlm!r}"
                 )
             if not synthetic_loaded:  # synthetic VLM is built quantized
-                log.info("quantizing VLM weights to int8 (%s)", vlm_mode)
+                log.info("quantizing VLM weights (%s)", vlm_mode)
                 self.qwen_params = quantize_params(
                     self.qwen_params, mode=vlm_mode, min_size=1 << 20,
                     place=self._store.placement,

@@ -288,6 +288,18 @@ class TestQuantizedVlm:
         )
         assert img is not None
 
+    def test_int4_vlm_mode(self):
+        """quantize_vlm='int4' (the offload staging lever: ~4.6GB staged vs
+        8.3GB int8) completes a full chat turn. Tiny kernels have
+        in_features=48 (not 64-divisible) so they degrade to int8 payloads;
+        the group-64 q4 packing itself is covered by test_quantize's int4
+        cases — this guards the runtime plumbing end-to-end."""
+        rt = UnivaRuntime(tiny=True, quantize_vlm="int4")
+        img, txt = rt.chat_turn(
+            "make it night", [_img(5)], force_generate=True, steps=2, seed=0
+        )
+        assert img is not None
+
     def test_rejects_unknown_vlm_mode(self):
         import pytest
 
