@@ -759,6 +759,11 @@ def main(argv=None):
                         "--offload (utils/synthetic.py)")
     p.add_argument("--quantize", type=str, default=None)
     p.add_argument("--quantize_vlm", nargs="?", const="int8", default=None)
+    p.add_argument("--quantize_t5", type=str, default=None,
+                   choices=("int8", "int4"),
+                   help="weight-only quantized T5-XXL trunk — under "
+                        "--offload the bf16 T5 is a 9.4GB per-request "
+                        "staging chunk; int8 halves it, int4 quarters it")
     p.add_argument("--vae_dtype", type=str, default="bfloat16")
     p.add_argument("--offload", action="store_true")
     p.add_argument("--max_queue", type=int, default=32)
@@ -805,6 +810,7 @@ def main(argv=None):
         synthetic_full=args.synthetic_full,
         quantize=args.quantize,
         quantize_vlm=args.quantize_vlm or False,
+        quantize_t5=args.quantize_t5,
         vae_dtype=args.vae_dtype,
         offload=args.offload,
         mesh=mesh_from_arg(args.mesh),

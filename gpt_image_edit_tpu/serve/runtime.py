@@ -66,6 +66,10 @@ class UnivaRuntime:
         # bf16 path numerically benign (tested). "float32" opts out.
         quantize_vlm: "bool | str" = False,  # int8 VLM trunk (single-
         # 16GB-chip serving: 7GB trunk + 12GB quantized FLUX via host swap)
+        quantize_t5: Optional[str] = None,  # "int8" | "int4" weight-only
+        # T5-XXL trunk — under --offload the bf16 T5 is a 9.4GB per-request
+        # staging chunk (second only to FLUX); int8 halves it, int4 quarters
+        # it, and the frozen encoder's ~60ms compute is noise either way
         offload: bool = False,           # the reference's --offload
         # (ref:app.py:37,177-178 enable_model_cpu_offload), TPU-native:
         # VLM/FLUX/VAE params park in pinned_host memory and stage into HBM
@@ -291,6 +295,7 @@ class UnivaRuntime:
         # (ref:univa/serve/cli.py:121,220-233). Lazy container: T5-XXL only
         # materializes if joint_with_t5 is used.
         self.joint_with_t5 = joint_with_t5
+        self.quantize_t5 = quantize_t5
         self.text_encoders = None
         if synthetic_loaded:
             from gpt_image_edit_tpu.utils.prompt_embeds import FluxTextEncoders
@@ -298,7 +303,7 @@ class UnivaRuntime:
             self.text_encoders = FluxTextEncoders(
                 "<synthetic>",
                 offload_store=self._store if self.offload else None,
-                synthetic=True,
+                synthetic=True, quantize_t5=quantize_t5,
             )
             log.info("synthetic FLUX text encoders (T5-XXL + CLIP-L shapes)")
         enc_dir = flux_path or model_path
@@ -1058,6 +1063,7 @@ class UnivaRuntime:
         self.text_encoders = FluxTextEncoders(
             flux_ckpt_dir,
             offload_store=self._store if self.offload else None,
+            quantize_t5=getattr(self, "quantize_t5", None),
         )
         return self.text_encoders
 

@@ -22,7 +22,7 @@ class FluxTextEncoders:
     materializes the ~19GB T5-XXL encoder."""
 
     def __init__(self, flux_ckpt_dir: str, offload_store=None,
-                 synthetic: bool = False):
+                 synthetic: bool = False, quantize_t5=None):
         """`offload_store`: optional utils.offload.ComponentStore — when
         given, loaded encoder params are parked in pinned_host memory and
         staged into HBM per encode call (the T5-XXL encoder is ~9.4GB bf16;
@@ -31,7 +31,14 @@ class FluxTextEncoders:
 
         `synthetic`: shape-only bf16 weights + the fake hash tokenizer —
         full-size serving-path perf rehearsal without checkpoints (no public
-        weights ship in this environment; see utils/synthetic.py)."""
+        weights ship in this environment; see utils/synthetic.py).
+
+        `quantize_t5`: None | "int8" | "int4" — weight-only quantized T5
+        trunk. The T5-XXL is the second-biggest per-request staging chunk
+        under --offload (9.4GB bf16 vs int8 4.7 / int4 2.4); it is a frozen
+        encoder (same error-budget argument as the int8 VLM trunk) and the
+        encode itself is ~60ms, so staged bytes are what matter. CLIP-L
+        (~0.25GB) always stays bf16."""
         self._dir = flux_ckpt_dir
         self.clip_cfg = clip_mod.ClipTextConfig()
         self.t5_cfg = t5_mod.T5Config()
@@ -39,18 +46,31 @@ class FluxTextEncoders:
         self._t5 = None
         self._store = offload_store
         self._synthetic = synthetic
+        if quantize_t5 not in (None, "int8", "int4"):
+            raise ValueError(
+                f"quantize_t5 must be None | 'int8' | 'int4', "
+                f"got {quantize_t5!r}"
+            )
+        self._quantize_t5 = quantize_t5
 
-    def _synthetic_pair(self, init_fn, cfg):
+    def _synthetic_pair(self, init_fn, cfg, qkey=None):
         import jax
 
         from gpt_image_edit_tpu.data.tokenizer import FakeTokenizer
-        from gpt_image_edit_tpu.utils.synthetic import shape_params
+        from gpt_image_edit_tpu.utils.synthetic import (
+            quantized_shape_params, shape_params,
+        )
 
         abstract = jax.eval_shape(lambda k: init_fn(k, cfg), jax.random.key(0))
-        params = shape_params(
-            abstract, float_dtype=jnp.bfloat16,
-            place=(self._store.placement if self._store else None),
-        )
+        place = self._store.placement if self._store else None
+        if qkey is not None:
+            params = quantized_shape_params(
+                abstract, qkey=qkey, float_dtype=jnp.bfloat16, place=place
+            )
+        else:
+            params = shape_params(
+                abstract, float_dtype=jnp.bfloat16, place=place
+            )
         return FakeTokenizer(), params
 
     @property
@@ -76,18 +96,33 @@ class FluxTextEncoders:
     @property
     def t5(self):
         if self._t5 is None:
+            qmode = self._quantize_t5
             if self._synthetic:
-                tok, params = self._synthetic_pair(t5_mod.init, self.t5_cfg)
+                tok, params = self._synthetic_pair(
+                    t5_mod.init, self.t5_cfg,
+                    qkey={"int8": "q", "int4": "q4"}.get(qmode),
+                )
             else:
                 from transformers import AutoTokenizer
 
                 from gpt_image_edit_tpu.utils.ckpt_convert import TensorSource
 
+                place = self._store.placement if self._store else None
                 tok = AutoTokenizer.from_pretrained(f"{self._dir}/tokenizer_2")
                 params = t5_mod.convert_t5(
-                    TensorSource.from_dir(f"{self._dir}/text_encoder_2"), self.t5_cfg,
-                    placement=(self._store.placement if self._store else None),
+                    TensorSource.from_dir(f"{self._dir}/text_encoder_2"),
+                    self.t5_cfg, placement=place,
                 )
+                if qmode is not None:
+                    from gpt_image_edit_tpu.utils.quantize import (
+                        quantize_params,
+                    )
+
+                    params = quantize_params(
+                        params,
+                        mode="int4" if qmode == "int4" else "weight_only",
+                        min_size=1 << 20, place=place,
+                    )
             if self._store is not None:
                 params = self._store.add("t5", params)
             self._t5 = (tok, params)

@@ -40,6 +40,35 @@ class TestT5:
         np.testing.assert_allclose(ours[0], ref[0], atol=3e-4)
         np.testing.assert_allclose(ours[1, :-3], ref[1, :-3], atol=3e-4)
 
+    def test_quantized_t5_close_to_float(self):
+        """quantize_t5 serving mode (the 9.4GB -> 4.7/2.4GB offload staging
+        lever): int8 weight-only T5 kernels run through linear()'s dict
+        dispatch and stay within the frozen-encoder error budget."""
+        import jax
+
+        from gpt_image_edit_tpu.models import t5 as t5_mod
+        from gpt_image_edit_tpu.utils.quantize import quantize_params
+
+        cfg = T5Config.tiny()
+        params = t5_mod.init(jax.random.key(0), cfg)
+        qparams = quantize_params(params, mode="weight_only", min_size=0)
+        ids = jnp.asarray(
+            np.random.default_rng(3).integers(0, 512, (2, 11))
+        )
+        mask = jnp.ones_like(ids)
+        ref = np.asarray(t5_apply(params, cfg, ids, mask))
+        q = np.asarray(t5_apply(qparams, cfg, ids, mask))
+        rel = np.linalg.norm(q - ref) / (np.linalg.norm(ref) + 1e-9)
+        assert rel < 0.05, rel
+
+    def test_flux_text_encoders_rejects_bad_quantize(self):
+        import pytest
+
+        from gpt_image_edit_tpu.utils.prompt_embeds import FluxTextEncoders
+
+        with pytest.raises(ValueError):
+            FluxTextEncoders("<synthetic>", synthetic=True, quantize_t5="nf4")
+
 
 class TestClip:
     def test_matches_hf(self):
